@@ -1,0 +1,253 @@
+"""Model configuration — the single source of truth.
+
+The reference parses per-model config.json in *four* different places with
+diverging semantics (SURVEY.md §2c.5): Go handlers, the Go config loader,
+and a C++ repository whose `GetModelConfig` fakes the parse entirely
+(model_repository.cpp:131-156 hardcodes input/output names). Here one parser
+owns the schema; every layer (repository, engine, server, native bridge)
+consumes the same `ModelConfig`.
+
+Schema (config.json, superset of the reference's — reference fields per
+server/main.go:604-627 and models/*/1/config.json):
+
+    {
+      "name": "...", "version": "1",
+      "platform": "jax" | "llm" | "pytorch" | "onnxruntime_onnx" | ...,
+      "architecture": "mlp" | "resnet50" | "bert" | "llama" | ...,
+      "max_batch_size": 0, "instance_count": 1, "dynamic_batching": false,
+      "inputs":  [{"name", "data_type", "shape" | "dims", ...}],
+      "outputs": [{..., "label_filename": "labels.txt"}],
+      "quantization": {"weights": "int8"|"int4"|"none", "group_size": 128,
+                        "kv_cache": "int8"|"none", "activations": "fp8"|"none"},
+      "generation": {"max_seq_len": 2048, "max_slots": 8, "page_size": 128,
+                      "eos_token_id": 2, "temperature": 0.0, "top_k": 0, "top_p": 1.0},
+      "sharding":   {"tensor_parallel": 1, "data_parallel": 1},
+      "model_params": { ... architecture hyperparameters ... }
+    }
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import json
+import os
+from typing import Any, Dict, List, Optional
+
+from tpuserve.utils.dtypes import DataType
+from tpuserve.utils.errors import InvalidArgumentError
+
+
+@dataclasses.dataclass
+class TensorConfig:
+    """One declared input/output (reference: InputConfig/OutputConfig,
+    server/main.go:604-627). `shape` includes the batch dim, -1 = dynamic;
+    `dims` (reference compat) excludes it."""
+
+    name: str
+    data_type: DataType
+    shape: List[int]
+    label_filename: Optional[str] = None
+
+    @classmethod
+    def from_dict(cls, d: Dict[str, Any]) -> "TensorConfig":
+        if "name" not in d:
+            raise InvalidArgumentError("tensor config missing 'name'")
+        shape = d.get("shape")
+        if shape is None and "dims" in d:
+            # reference densenet config: dims excludes batch; assume batch 1
+            shape = [1] + [int(x) for x in d["dims"]]
+        if shape is None:
+            raise InvalidArgumentError(f"tensor config '{d['name']}' missing 'shape'")
+        return cls(
+            name=str(d["name"]),
+            data_type=DataType.from_string(str(d.get("data_type", "FP32"))),
+            shape=[int(x) for x in shape],
+            label_filename=d.get("label_filename"),
+        )
+
+    def to_dict(self) -> Dict[str, Any]:
+        out: Dict[str, Any] = {
+            "name": self.name,
+            "data_type": self.data_type.value,
+            "shape": list(self.shape),
+        }
+        if self.label_filename:
+            out["label_filename"] = self.label_filename
+        return out
+
+
+@dataclasses.dataclass
+class QuantizationConfig:
+    """North-star quantization knobs (BASELINE.md): weight-only INT8/INT4,
+    optional FP8 activations, INT8 KV cache."""
+
+    weights: str = "none"  # none | int8 | int4
+    group_size: int = 128  # contraction-dim group for scales; 0 = per-channel
+    kv_cache: str = "none"  # none | int8
+    activations: str = "none"  # none | fp8
+
+    @classmethod
+    def from_dict(cls, d: Optional[Dict[str, Any]]) -> "QuantizationConfig":
+        d = d or {}
+        cfg = cls(
+            weights=str(d.get("weights", "none")).lower(),
+            group_size=int(d.get("group_size", 128)),
+            kv_cache=str(d.get("kv_cache", "none")).lower(),
+            activations=str(d.get("activations", "none")).lower(),
+        )
+        if cfg.weights not in ("none", "int8", "int4"):
+            raise InvalidArgumentError(f"unsupported weight quantization '{cfg.weights}'")
+        if cfg.kv_cache not in ("none", "int8"):
+            raise InvalidArgumentError(f"unsupported kv_cache quantization '{cfg.kv_cache}'")
+        if cfg.activations not in ("none", "fp8"):
+            raise InvalidArgumentError(f"unsupported activation quantization '{cfg.activations}'")
+        return cfg
+
+    def to_dict(self) -> Dict[str, Any]:
+        return dataclasses.asdict(self)
+
+
+@dataclasses.dataclass
+class GenerationConfig:
+    """LLM serving parameters (no reference counterpart; the reference has no
+    attention/KV machinery — SURVEY.md §5 'Long-context')."""
+
+    max_seq_len: int = 2048
+    max_slots: int = 8  # concurrent sequences in the continuous batch
+    page_size: int = 128  # tokens per KV page
+    eos_token_id: int = 2
+    temperature: float = 0.0
+    top_k: int = 0
+    top_p: float = 1.0
+    max_new_tokens: int = 256
+
+    @classmethod
+    def from_dict(cls, d: Optional[Dict[str, Any]]) -> "GenerationConfig":
+        d = d or {}
+        fields = {f.name for f in dataclasses.fields(cls)}
+        return cls(**{k: v for k, v in d.items() if k in fields})
+
+    def to_dict(self) -> Dict[str, Any]:
+        return dataclasses.asdict(self)
+
+
+@dataclasses.dataclass
+class ShardingConfig:
+    """Mesh axes sizes for multi-chip serving. 1/1 = single chip."""
+
+    tensor_parallel: int = 1
+    data_parallel: int = 1
+
+    @classmethod
+    def from_dict(cls, d: Optional[Dict[str, Any]]) -> "ShardingConfig":
+        d = d or {}
+        return cls(
+            tensor_parallel=int(d.get("tensor_parallel", 1)),
+            data_parallel=int(d.get("data_parallel", 1)),
+        )
+
+    def to_dict(self) -> Dict[str, Any]:
+        return dataclasses.asdict(self)
+
+
+@dataclasses.dataclass
+class ModelConfig:
+    name: str
+    version: str = "1"
+    platform: str = ""  # resolved from marker file when empty
+    architecture: str = ""
+    max_batch_size: int = 0
+    instance_count: int = 1
+    dynamic_batching: bool = False
+    inputs: List[TensorConfig] = dataclasses.field(default_factory=list)
+    outputs: List[TensorConfig] = dataclasses.field(default_factory=list)
+    quantization: QuantizationConfig = dataclasses.field(default_factory=QuantizationConfig)
+    generation: GenerationConfig = dataclasses.field(default_factory=GenerationConfig)
+    sharding: ShardingConfig = dataclasses.field(default_factory=ShardingConfig)
+    model_params: Dict[str, Any] = dataclasses.field(default_factory=dict)
+
+    # ------------------------------------------------------------------
+    @classmethod
+    def from_dict(cls, d: Dict[str, Any]) -> "ModelConfig":
+        if "name" not in d:
+            raise InvalidArgumentError("model config missing 'name'")
+        return cls(
+            name=str(d["name"]),
+            version=str(d.get("version", "1")),
+            platform=str(d.get("platform", "")),
+            architecture=str(d.get("architecture", "")),
+            max_batch_size=int(d.get("max_batch_size", 0)),
+            instance_count=int(d.get("instance_count", 1)),
+            dynamic_batching=bool(d.get("dynamic_batching", False)),
+            inputs=[TensorConfig.from_dict(x) for x in d.get("inputs", [])],
+            outputs=[TensorConfig.from_dict(x) for x in d.get("outputs", [])],
+            quantization=QuantizationConfig.from_dict(d.get("quantization")),
+            generation=GenerationConfig.from_dict(d.get("generation")),
+            sharding=ShardingConfig.from_dict(d.get("sharding")),
+            model_params=dict(d.get("model_params", {})),
+        )
+
+    @classmethod
+    def from_file(cls, path: str) -> "ModelConfig":
+        try:
+            with open(path, "r") as f:
+                data = json.load(f)
+        except FileNotFoundError:
+            raise InvalidArgumentError(f"config file not found: {path}")
+        except json.JSONDecodeError as e:
+            raise InvalidArgumentError(f"invalid JSON in {path}: {e}")
+        return cls.from_dict(data)
+
+    def to_dict(self) -> Dict[str, Any]:
+        return {
+            "name": self.name,
+            "version": self.version,
+            "platform": self.platform,
+            "architecture": self.architecture,
+            "max_batch_size": self.max_batch_size,
+            "instance_count": self.instance_count,
+            "dynamic_batching": self.dynamic_batching,
+            "inputs": [t.to_dict() for t in self.inputs],
+            "outputs": [t.to_dict() for t in self.outputs],
+            "quantization": self.quantization.to_dict(),
+            "generation": self.generation.to_dict(),
+            "sharding": self.sharding.to_dict(),
+            "model_params": self.model_params,
+        }
+
+    def save(self, path: str) -> None:
+        with open(path, "w") as f:
+            json.dump(self.to_dict(), f, indent=2)
+
+    # ------------------------------------------------------------------
+    def input_config(self, name: str) -> Optional[TensorConfig]:
+        for t in self.inputs:
+            if t.name == name:
+                return t
+        return None
+
+    def output_config(self, name: str) -> Optional[TensorConfig]:
+        for t in self.outputs:
+            if t.name == name:
+                return t
+        return None
+
+    def resolve_label_file(self, model_dir: str, output_name: str) -> Optional[str]:
+        """Resolve a classification label file relative to the *model version
+        directory* — fixing the reference bug where labels resolve against the
+        repository root and silently fail to load (SURVEY.md §2c.7,
+        server/main.go:719)."""
+        out = self.output_config(output_name)
+        if out is None or not out.label_filename:
+            return None
+        candidate = os.path.join(model_dir, out.label_filename)
+        if os.path.exists(candidate):
+            return candidate
+        # tolerate the reference's broken densenet config: try any *label*.txt
+        try:
+            for fn in sorted(os.listdir(model_dir)):
+                if "label" in fn.lower() and fn.endswith(".txt"):
+                    return os.path.join(model_dir, fn)
+        except OSError:
+            pass
+        return None
