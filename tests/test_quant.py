@@ -1,0 +1,133 @@
+"""Quantization core tests: roundtrip error bounds, packing, qmatmul XLA
+path, param-tree quantization, quantized-model accuracy gates."""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from tpuserve.quant import QTensor, dequantize, qmatmul, quantize, quantize_param_tree
+from tpuserve.quant.core import unpack_int4
+
+
+@pytest.fixture()
+def w(rng):
+    return rng.normal(size=(256, 64)).astype(np.float32)
+
+
+class TestQuantize:
+    def test_int8_roundtrip_error(self, w):
+        qt = quantize(w, bits=8, group_size=128)
+        deq = np.asarray(dequantize(qt))
+        # symmetric int8: max error <= scale/2 per group
+        scale = np.repeat(np.asarray(qt.scale), 128, axis=0)
+        assert np.all(np.abs(deq - w) <= scale / 2 + 1e-7)
+
+    def test_int4_pack_unpack(self, w):
+        qt = quantize(w, bits=4, group_size=128)
+        assert qt.q.dtype == jnp.uint8
+        assert qt.q.shape == (128, 64)  # K/2 packed
+        unpacked = np.asarray(unpack_int4(qt.q))
+        assert unpacked.shape == (256, 64)
+        assert unpacked.min() >= -8 and unpacked.max() <= 7
+
+    def test_int4_roundtrip_error(self, w):
+        qt = quantize(w, bits=4, group_size=64)
+        deq = np.asarray(dequantize(qt))
+        scale = np.repeat(np.asarray(qt.scale), 64, axis=0)
+        assert np.all(np.abs(deq - w) <= scale / 2 + 1e-6)
+
+    def test_per_channel_mode(self, w):
+        qt = quantize(w, bits=8, group_size=0)
+        assert qt.scale.shape == (1, 64)
+
+    def test_memory_halving(self, w):
+        q8 = quantize(w, bits=8)
+        q4 = quantize(w, bits=4)
+        assert q4.q.nbytes == q8.q.nbytes // 2
+
+    def test_odd_k_int4_rejected(self):
+        with pytest.raises(ValueError):
+            quantize(np.ones((3, 4), np.float32), bits=4, group_size=0)
+
+
+class TestQMatmul:
+    def test_matches_float_matmul_int8(self, rng, w):
+        x = rng.normal(size=(4, 256)).astype(np.float32)
+        qt = quantize(w, bits=8, group_size=128)
+        out = np.asarray(qmatmul(jnp.asarray(x), qt, use_pallas=False))
+        ref = x @ w
+        rel = np.abs(out - ref) / (np.abs(ref) + 1e-3)
+        assert np.median(rel) < 0.01  # int8 weight-only ~1% median error
+
+    def test_matches_dequant_exactly(self, rng, w):
+        """qmatmul == x @ dequantize(qt) — the fused path must be exact wrt
+        its own dequantization."""
+        x = rng.normal(size=(4, 256)).astype(np.float32)
+        qt = quantize(w, bits=4, group_size=128)
+        out = np.asarray(qmatmul(jnp.asarray(x), qt, use_pallas=False))
+        ref = x @ np.asarray(dequantize(qt))
+        np.testing.assert_allclose(out, ref, rtol=1e-4, atol=1e-4)
+
+
+class TestParamTree:
+    def test_quantizes_kernels_only(self, rng):
+        params = {
+            "dense1/kernel": rng.normal(size=(256, 64)).astype(np.float32),
+            "dense1/bias": rng.normal(size=(64,)).astype(np.float32),
+        }
+        qparams = quantize_param_tree(params, bits=8)
+        assert isinstance(qparams["dense1/kernel"], QTensor)
+        assert not isinstance(qparams["dense1/bias"], QTensor)
+
+    def test_small_kernel_stays_unquantized_for_int4_odd(self, rng):
+        params = {"d/kernel": rng.normal(size=(3, 5)).astype(np.float32)}
+        qparams = quantize_param_tree(params, bits=4)
+        assert not isinstance(qparams["d/kernel"], QTensor)
+
+
+class TestQuantizedModelServing:
+    def test_int8_mlp_accuracy(self, tmp_path, rng):
+        """Quantized serving accuracy gate at MLP scale: INT8 outputs close
+        to FP32 (BASELINE.md gate analogue)."""
+        import json
+        import os
+
+        from tpuserve.engine import InferenceManager
+        from tpuserve.fixtures import create_test_model
+        from tpuserve.utils.tensor import Tensor
+
+        create_test_model(str(tmp_path))
+        # a second copy with int8 quantization enabled, wide enough to quantize
+        vdir = tmp_path / "test_model_int8" / "1"
+        vdir.mkdir(parents=True)
+        from safetensors.numpy import save_file
+
+        w = {
+            "dense1/kernel": rng.normal(size=(64, 128)).astype(np.float32),
+            "dense1/bias": rng.normal(size=(128,)).astype(np.float32),
+            "dense2/kernel": rng.normal(size=(128, 16)).astype(np.float32),
+            "dense2/bias": rng.normal(size=(16,)).astype(np.float32),
+        }
+        save_file(w, str(vdir / "model.safetensors"))
+        cfg = {
+            "name": "test_model_int8",
+            "platform": "jax",
+            "architecture": "mlp",
+            "inputs": [{"name": "input", "shape": [1, 64], "data_type": "FLOAT32"}],
+            "outputs": [{"name": "output", "shape": [1, 16], "data_type": "FLOAT32"}],
+            "model_params": {"features": [128, 16]},
+            "quantization": {"weights": "int8", "group_size": 64},
+        }
+        (vdir / "config.json").write_text(json.dumps(cfg))
+
+        m = InferenceManager(str(tmp_path))
+        try:
+            m.load_model("test_model_int8")
+            x = rng.normal(size=(1, 64)).astype(np.float32)
+            out = m.run_inference("test_model_int8", [Tensor.from_numpy("input", x)])[0].numpy()
+            h = np.maximum(x @ w["dense1/kernel"] + w["dense1/bias"], 0)
+            ref = h @ w["dense2/kernel"] + w["dense2/bias"]
+            rel = np.abs(out - ref) / (np.abs(ref) + 1e-2)
+            assert np.median(rel) < 0.05
+        finally:
+            m.shutdown()

@@ -1,0 +1,157 @@
+"""Weight-only quantization: symmetric INT8 and packed INT4 with group-wise
+scales.
+
+No reference counterpart — the reference serves FP32 ONNX graphs. This is
+the north-star quantization tier (BASELINE.md): INT8/INT4 weights with
+per-(group, out-channel) scales, dequantized inside the matmul.
+
+Representation (TPU-first):
+- INT8: values stored as int8 [K, N]; scales bf16-safe f32 [K/gs, N].
+- INT4: two nibbles packed per uint8 along K -> [K//2, N]; halves HBM
+  traffic, which is the decode-bound resource. Nibble layout: element
+  2k in the low nibble, 2k+1 in the high nibble (offset-8 encoding so
+  values occupy [-8, 7]).
+
+`qmatmul` routes to the fused dequant+matmul Pallas kernel on TPU
+(tpuserve.ops.quant_matmul) and to an XLA fallback elsewhere; both share
+this module's packing convention.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+from typing import Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+@jax.tree_util.register_pytree_node_class
+@dataclasses.dataclass
+class QTensor:
+    """A quantized 2-D weight [K, N] (contraction dim first)."""
+
+    q: jax.Array  # int8 [K, N] or uint8 [K//2, N] (packed int4)
+    scale: jax.Array  # f32 [num_groups, N]
+    bits: int
+    group_size: int  # along K; 0 means one group (per-channel only)
+    orig_shape: Tuple[int, int]
+
+    def tree_flatten(self):
+        return (self.q, self.scale), (self.bits, self.group_size, self.orig_shape)
+
+    @classmethod
+    def tree_unflatten(cls, aux, children):
+        q, scale = children
+        bits, group_size, orig_shape = aux
+        return cls(q=q, scale=scale, bits=bits, group_size=group_size, orig_shape=orig_shape)
+
+    @property
+    def nbytes(self) -> int:
+        return self.q.size * self.q.dtype.itemsize + self.scale.size * self.scale.dtype.itemsize
+
+
+def _group_count(k: int, group_size: int) -> int:
+    if group_size <= 0 or group_size >= k:
+        return 1
+    if k % group_size != 0:
+        raise ValueError(f"contraction dim {k} not divisible by group_size {group_size}")
+    return k // group_size
+
+
+def quantize(w, bits: int = 8, group_size: int = 128) -> QTensor:
+    """Symmetric round-to-nearest weight quantization of a [K, N] matrix with
+    per-(group, column) scales."""
+    w = jnp.asarray(w, jnp.float32)
+    if w.ndim != 2:
+        raise ValueError(f"quantize expects a 2-D weight, got shape {w.shape}")
+    k, n = w.shape
+    groups = _group_count(k, group_size)
+    gs = k // groups
+    wg = w.reshape(groups, gs, n)
+    qmax = {8: 127.0, 4: 7.0}[bits]
+    absmax = jnp.max(jnp.abs(wg), axis=1, keepdims=True)  # [groups, 1, n]
+    scale = jnp.maximum(absmax / qmax, 1e-8)
+    q = jnp.clip(jnp.round(wg / scale), -qmax - 1, qmax).astype(jnp.int8)
+    q = q.reshape(k, n)
+    scale = scale.reshape(groups, n)
+    if bits == 4:
+        if k % 2 != 0:
+            raise ValueError("INT4 packing requires even contraction dim")
+        un = (q.astype(jnp.int32) + 8).astype(jnp.uint8)  # offset-8 -> [0, 15]
+        lo = un[0::2, :]
+        hi = un[1::2, :]
+        q = (lo | (hi << 4)).astype(jnp.uint8)  # [K//2, N]
+    return QTensor(q=q, scale=scale, bits=bits, group_size=gs if groups > 1 else 0, orig_shape=(k, n))
+
+
+def unpack_int4(packed: jax.Array) -> jax.Array:
+    """uint8 [K//2, N] -> int8 [K, N] (inverse of the pack in `quantize`)."""
+    lo = (packed & 0x0F).astype(jnp.int8) - 8
+    hi = (packed >> 4).astype(jnp.int8) - 8
+    k2, n = packed.shape
+    out = jnp.stack([lo, hi], axis=1)  # [K//2, 2, N]
+    return out.reshape(2 * k2, n)
+
+
+def dequantize(qt: QTensor, dtype=jnp.float32) -> jax.Array:
+    k, n = qt.orig_shape
+    q = unpack_int4(qt.q) if qt.bits == 4 else qt.q
+    groups = qt.scale.shape[0]
+    gs = k // groups
+    deq = q.reshape(groups, gs, n).astype(jnp.float32) * qt.scale[:, None, :]
+    return deq.reshape(k, n).astype(dtype)
+
+
+def qmatmul(x: jax.Array, qt: QTensor, *, use_pallas: Optional[bool] = None) -> jax.Array:
+    """x [.., K] @ dequant(qt) [K, N] -> [.., N].
+
+    On TPU this dispatches to the fused dequant+matmul Pallas kernel
+    (tpuserve/ops/quant_matmul.py); elsewhere (CPU tests) it dequantizes
+    through XLA, which fuses the scale multiply into the matmul epilogue.
+    """
+    if use_pallas is None:
+        use_pallas = jax.devices()[0].platform == "tpu"
+    if use_pallas:
+        from tpuserve.ops.quant_matmul import quant_matmul
+
+        return quant_matmul(x, qt)
+    w = dequantize(qt, dtype=jnp.bfloat16 if x.dtype == jnp.bfloat16 else jnp.float32)
+    return jnp.dot(x, w.astype(x.dtype), preferred_element_type=jnp.float32).astype(x.dtype)
+
+
+# ----------------------------------------------------------------------
+def quantize_param_tree(
+    params: Dict[str, jax.Array],
+    bits: int,
+    group_size: int = 128,
+    predicate=None,
+) -> Dict[str, object]:
+    """Quantize every eligible 2-D weight in a flat param dict.
+
+    `predicate(name, array) -> bool` selects weights; default: 2-D arrays
+    whose name ends with 'kernel' or contains a projection-style name, and
+    whose dims are quantization-friendly."""
+
+    def default_pred(name: str, arr) -> bool:
+        if arr.ndim != 2:
+            return False
+        k = arr.shape[0]
+        if group_size > 0 and k % group_size != 0 and k > group_size:
+            return False
+        if bits == 4 and k % 2 != 0:
+            return False
+        lname = name.lower()
+        return any(t in lname for t in ("kernel", "weight", "w_", "proj", "embed_out"))
+
+    pred = predicate or default_pred
+    out: Dict[str, object] = {}
+    for name, arr in params.items():
+        if pred(name, arr):
+            gs = group_size if (group_size > 0 and arr.shape[0] % group_size == 0 and arr.shape[0] > group_size) else 0
+            out[name] = quantize(arr, bits=bits, group_size=gs)
+        else:
+            out[name] = jnp.asarray(arr)
+    return out
