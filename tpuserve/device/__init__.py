@@ -1,6 +1,8 @@
 from tpuserve.device.info import (  # noqa: F401
     DeviceInfo,
     MemoryInfo,
+    all_device_infos,
+    all_memory_infos,
     get_device_count,
     get_device_info,
     get_memory_info,

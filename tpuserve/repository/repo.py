@@ -150,9 +150,10 @@ class ModelRepository:
         return True
 
     def get_versions(self, name: str) -> List[str]:
-        if not self.has_model(name):
-            raise ModelNotFoundError(f"model '{name}' not found in repository")
+        self.scan()  # live semantics: new versions appear without restart
         with self._lock:
+            if name not in self._models:
+                raise ModelNotFoundError(f"model '{name}' not found in repository")
             return list(self._models[name])
 
     def get_latest_version(self, name: str) -> str:
