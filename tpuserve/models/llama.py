@@ -1,0 +1,419 @@
+"""Llama-family decoder (the quantized-LLM serving architecture).
+
+No reference counterpart — the reference serves opaque ONNX graphs and has
+no attention/KV machinery (SURVEY.md §5 long-context: green-field per
+BASELINE.md configs 3-4). TPU-first design:
+
+- pure functions over a flat param dict; all matmul weights may be QTensors
+  (INT8/INT4 weight-only) dispatched through the fused Pallas kernel;
+- grouped-query attention + RoPE, RMSNorm, SwiGLU MLP (Llama-2/3 shapes);
+- two jitted entry points shaped for continuous batching:
+    prefill(params, tokens[1, L], cache, slot, pos0)  -> logits[1, V], cache
+    decode (params, tokens[S],    cache, positions)   -> logits[S, V], cache
+- KV cache as an explicit pytree argument (functional update, donate-able),
+  contiguous per slot: [n_layers, S, L_max, n_kv_heads, head_dim], bf16 or
+  INT8 with per-(slot, pos, head) scales. INT8 dequant folds into the
+  attention products (scale * (q·k_q), (p*vscale)·v_q) so it costs O(L),
+  not O(L·head_dim).
+
+Hyperparameters (config.model_params): vocab_size, dim, n_layers, n_heads,
+n_kv_heads, head_dim, ffn_dim, rope_theta, rms_eps, tie_embeddings.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import math
+from typing import Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from tpuserve.models.layers import rms_norm
+from tpuserve.models.registry import Architecture, register_architecture
+from tpuserve.quant.core import QTensor, qmatmul
+
+
+# ---------------------------------------------------------------------- config
+@dataclasses.dataclass(frozen=True)
+class LlamaParams:
+    vocab_size: int = 32000
+    dim: int = 4096
+    n_layers: int = 32
+    n_heads: int = 32
+    n_kv_heads: int = 32
+    head_dim: int = 128
+    ffn_dim: int = 11008
+    rope_theta: float = 10000.0
+    rms_eps: float = 1e-5
+    tie_embeddings: bool = False
+
+    @classmethod
+    def from_dict(cls, d: Dict) -> "LlamaParams":
+        fields = {f.name for f in dataclasses.fields(cls)}
+        kw = {k: v for k, v in d.items() if k in fields}
+        p = cls(**kw)
+        assert p.n_heads % p.n_kv_heads == 0, "n_heads must be divisible by n_kv_heads"
+        return p
+
+    # canonical model sizes for configs/bench
+    @classmethod
+    def llama2_7b(cls) -> "LlamaParams":
+        return cls()
+
+    @classmethod
+    def tiny(cls) -> "LlamaParams":
+        """CPU-test scale."""
+        return cls(vocab_size=256, dim=64, n_layers=2, n_heads=4, n_kv_heads=2,
+                   head_dim=16, ffn_dim=128)
+
+
+# ---------------------------------------------------------------------- weights
+def init_params(rng: jax.Array, p: LlamaParams, dtype=jnp.bfloat16) -> Dict[str, jax.Array]:
+    """Random-init weights (flat dict). Serving normally loads a checkpoint;
+    this exists for tests/bench fixtures."""
+    keys = {}
+    i = 0
+
+    def nxt():
+        nonlocal rng
+        rng, k = jax.random.split(rng)
+        return k
+
+    std = 0.02
+    params: Dict[str, jax.Array] = {
+        "embed/weight": (jax.random.normal(nxt(), (p.vocab_size, p.dim)) * std).astype(dtype),
+        "final_norm/scale": jnp.ones((p.dim,), dtype),
+    }
+    if not p.tie_embeddings:
+        params["lm_head/kernel"] = (jax.random.normal(nxt(), (p.dim, p.vocab_size)) * std).astype(dtype)
+    qd = p.n_heads * p.head_dim
+    kvd = p.n_kv_heads * p.head_dim
+    for l in range(p.n_layers):
+        pre = f"layers.{l}"
+        params[f"{pre}/attn_norm/scale"] = jnp.ones((p.dim,), dtype)
+        params[f"{pre}/wq/kernel"] = (jax.random.normal(nxt(), (p.dim, qd)) * std).astype(dtype)
+        params[f"{pre}/wk/kernel"] = (jax.random.normal(nxt(), (p.dim, kvd)) * std).astype(dtype)
+        params[f"{pre}/wv/kernel"] = (jax.random.normal(nxt(), (p.dim, kvd)) * std).astype(dtype)
+        params[f"{pre}/wo/kernel"] = (jax.random.normal(nxt(), (qd, p.dim)) * std).astype(dtype)
+        params[f"{pre}/mlp_norm/scale"] = jnp.ones((p.dim,), dtype)
+        params[f"{pre}/w_gate/kernel"] = (jax.random.normal(nxt(), (p.dim, p.ffn_dim)) * std).astype(dtype)
+        params[f"{pre}/w_up/kernel"] = (jax.random.normal(nxt(), (p.dim, p.ffn_dim)) * std).astype(dtype)
+        params[f"{pre}/w_down/kernel"] = (jax.random.normal(nxt(), (p.ffn_dim, p.dim)) * std).astype(dtype)
+    return params
+
+
+def _mm(params: Dict, name: str, x: jax.Array) -> jax.Array:
+    w = params[name]
+    if isinstance(w, QTensor):
+        return qmatmul(x, w)
+    return jnp.dot(x, w.astype(x.dtype), preferred_element_type=jnp.float32).astype(x.dtype)
+
+
+# ---------------------------------------------------------------------- rope
+def rope_cos_sin(positions: jax.Array, head_dim: int, theta: float, dtype=jnp.float32):
+    """positions [...] -> cos/sin [..., head_dim/2]."""
+    half = head_dim // 2
+    freqs = 1.0 / (theta ** (jnp.arange(0, half, dtype=jnp.float32) / half))
+    angles = positions.astype(jnp.float32)[..., None] * freqs  # [..., half]
+    return jnp.cos(angles).astype(dtype), jnp.sin(angles).astype(dtype)
+
+
+def apply_rope(x: jax.Array, cos: jax.Array, sin: jax.Array) -> jax.Array:
+    """x [..., n_heads, head_dim]; cos/sin broadcastable [..., 1, head_dim/2].
+    Rotate-half convention (matches HF Llama)."""
+    half = x.shape[-1] // 2
+    x1, x2 = x[..., :half], x[..., half:]
+    xf1 = x1.astype(jnp.float32)
+    xf2 = x2.astype(jnp.float32)
+    o1 = xf1 * cos - xf2 * sin
+    o2 = xf2 * cos + xf1 * sin
+    return jnp.concatenate([o1, o2], axis=-1).astype(x.dtype)
+
+
+# ---------------------------------------------------------------------- kv cache
+@jax.tree_util.register_pytree_node_class
+@dataclasses.dataclass
+class KVCache:
+    """Contiguous per-slot KV cache.
+
+    k/v: [n_layers, S, L, n_kv_heads, head_dim] (bf16, or int8 when
+    quantized); k_scale/v_scale: [n_layers, S, L, n_kv_heads] f32 (int8 only,
+    else None).
+    """
+
+    k: jax.Array
+    v: jax.Array
+    k_scale: Optional[jax.Array]
+    v_scale: Optional[jax.Array]
+
+    def tree_flatten(self):
+        return (self.k, self.v, self.k_scale, self.v_scale), ()
+
+    @classmethod
+    def tree_unflatten(cls, aux, children):
+        return cls(*children)
+
+    @property
+    def quantized(self) -> bool:
+        return self.k_scale is not None
+
+    @property
+    def max_len(self) -> int:
+        return self.k.shape[2]
+
+    @property
+    def n_slots(self) -> int:
+        return self.k.shape[1]
+
+    @property
+    def nbytes(self) -> int:
+        total = self.k.size * self.k.dtype.itemsize + self.v.size * self.v.dtype.itemsize
+        if self.k_scale is not None:
+            total += self.k_scale.size * 4 + self.v_scale.size * 4
+        return total
+
+    @classmethod
+    def create(cls, p: LlamaParams, n_slots: int, max_len: int, quantized: bool,
+               dtype=jnp.bfloat16) -> "KVCache":
+        shape = (p.n_layers, n_slots, max_len, p.n_kv_heads, p.head_dim)
+        if quantized:
+            return cls(
+                k=jnp.zeros(shape, jnp.int8),
+                v=jnp.zeros(shape, jnp.int8),
+                k_scale=jnp.zeros(shape[:-1], jnp.float32),
+                v_scale=jnp.zeros(shape[:-1], jnp.float32),
+            )
+        return cls(k=jnp.zeros(shape, dtype), v=jnp.zeros(shape, dtype),
+                   k_scale=None, v_scale=None)
+
+
+def _quantize_kv(x: jax.Array) -> Tuple[jax.Array, jax.Array]:
+    """[..., head_dim] -> int8 values + f32 scale over the last dim."""
+    absmax = jnp.max(jnp.abs(x.astype(jnp.float32)), axis=-1)
+    scale = jnp.maximum(absmax / 127.0, 1e-8)
+    q = jnp.clip(jnp.round(x.astype(jnp.float32) / scale[..., None]), -128, 127).astype(jnp.int8)
+    return q, scale
+
+
+# ---------------------------------------------------------------------- blocks
+def _attention_prefill(q, k, v, mask):
+    """Full self-attention over the prompt. q,k,v [B, L, H(kv), hd]."""
+    b, l, h, hd = q.shape
+    n_rep = h // k.shape[2]
+    if n_rep > 1:
+        k = jnp.repeat(k, n_rep, axis=2)
+        v = jnp.repeat(v, n_rep, axis=2)
+    scores = jnp.einsum("blhd,bmhd->bhlm", q.astype(jnp.float32), k.astype(jnp.float32))
+    scores = scores / math.sqrt(hd)
+    scores = jnp.where(mask[:, None, :, :], scores, -1e30)
+    probs = jax.nn.softmax(scores, axis=-1)
+    out = jnp.einsum("bhlm,bmhd->blhd", probs.astype(v.dtype), v)
+    return out
+
+
+def _forward_block(params, pre, x, p: LlamaParams, attn_fn):
+    """One transformer block; attn_fn maps (q, k, v) -> attn output."""
+    h = rms_norm(params, f"{pre}/attn_norm", x, p.rms_eps)
+    q = _mm(params, f"{pre}/wq/kernel", h)
+    k = _mm(params, f"{pre}/wk/kernel", h)
+    v = _mm(params, f"{pre}/wv/kernel", h)
+    attn_out = attn_fn(q, k, v)
+    x = x + _mm(params, f"{pre}/wo/kernel", attn_out)
+    h = rms_norm(params, f"{pre}/mlp_norm", x, p.rms_eps)
+    gate = jax.nn.silu(_mm(params, f"{pre}/w_gate/kernel", h).astype(jnp.float32)).astype(h.dtype)
+    up = _mm(params, f"{pre}/w_up/kernel", h)
+    x = x + _mm(params, f"{pre}/w_down/kernel", gate * up)
+    return x
+
+
+def _logits(params, x, p: LlamaParams):
+    h = rms_norm(params, "final_norm", x, p.rms_eps)
+    if p.tie_embeddings:
+        w = params["embed/weight"]
+        if isinstance(w, QTensor):  # pragma: no cover - tied embeds stay unquantized
+            raise ValueError("tied embeddings cannot be quantized")
+        return jnp.dot(h, w.T.astype(h.dtype), preferred_element_type=jnp.float32)
+    return _mm(params, "lm_head/kernel", h).astype(jnp.float32)
+
+
+# ---------------------------------------------------------------------- prefill
+def prefill(params, p: LlamaParams, tokens: jax.Array, cache: KVCache,
+            slot: jax.Array, length: jax.Array):
+    """Process a prompt into cache slot `slot`.
+
+    tokens: int32 [1, L] (right-padded to a bucket; `length` = real length).
+    Returns (logits_last [1, V] at position length-1, updated cache).
+    """
+    b, l = tokens.shape
+    x = params["embed/weight"][tokens]  # embeddings stay unquantized
+    positions = jnp.arange(l, dtype=jnp.int32)[None, :]  # [1, L]
+    cos, sin = rope_cos_sin(positions, p.head_dim, p.rope_theta)
+    cos, sin = cos[:, :, None, :], sin[:, :, None, :]  # [1, L, 1, hd/2]
+    valid = positions < length  # [1, L]
+    mask = valid[:, None, :] & (positions[:, :, None] >= positions[:, None, :])  # [1, L, L] causal & valid
+
+    new_cache = cache
+    for layer in range(p.n_layers):
+        pre = f"layers.{layer}"
+
+        def attn_fn(q, k, v, layer=layer):
+            nonlocal new_cache
+            q = q.reshape(b, l, p.n_heads, p.head_dim)
+            k = k.reshape(b, l, p.n_kv_heads, p.head_dim)
+            v = v.reshape(b, l, p.n_kv_heads, p.head_dim)
+            q = apply_rope(q, cos, sin)
+            k = apply_rope(k, cos, sin)
+            # write K/V into the slot (whole bucket; invalid tail is masked on read)
+            if new_cache.quantized:
+                kq, ks = _quantize_kv(k[0])
+                vq, vs = _quantize_kv(v[0])
+                new_cache = KVCache(
+                    k=jax.lax.dynamic_update_slice(new_cache.k, kq[None][None], (layer, slot, 0, 0, 0)),
+                    v=jax.lax.dynamic_update_slice(new_cache.v, vq[None][None], (layer, slot, 0, 0, 0)),
+                    k_scale=jax.lax.dynamic_update_slice(new_cache.k_scale, ks[None][None], (layer, slot, 0, 0)),
+                    v_scale=jax.lax.dynamic_update_slice(new_cache.v_scale, vs[None][None], (layer, slot, 0, 0)),
+                )
+            else:
+                new_cache = KVCache(
+                    k=jax.lax.dynamic_update_slice(new_cache.k, k.astype(new_cache.k.dtype)[None], (layer, slot, 0, 0, 0)),
+                    v=jax.lax.dynamic_update_slice(new_cache.v, v.astype(new_cache.v.dtype)[None], (layer, slot, 0, 0, 0)),
+                    k_scale=None,
+                    v_scale=None,
+                )
+            out = _attention_prefill(q, k, v, mask)
+            return out.reshape(b, l, p.n_heads * p.head_dim)
+
+        x = _forward_block(params, pre, x, p, attn_fn)
+
+    # logits at the last real position
+    last = jnp.take_along_axis(x, (length - 1)[None, None, None], axis=1)[:, 0, :]  # [1, D]
+    return _logits(params, last, p), new_cache
+
+
+# ---------------------------------------------------------------------- decode
+def decode_step(params, p: LlamaParams, tokens: jax.Array, cache: KVCache,
+                positions: jax.Array):
+    """One continuous-batching decode step over all S slots.
+
+    tokens: int32 [S] (current token per slot); positions: int32 [S] (index
+    where this token goes; negative = inactive slot).
+    Returns (logits [S, V], updated cache).
+    """
+    s = tokens.shape[0]
+    active = positions >= 0
+    pos = jnp.maximum(positions, 0)
+    x = params["embed/weight"][tokens]  # [S, D]
+    cos, sin = rope_cos_sin(pos, p.head_dim, p.rope_theta)  # [S, hd/2]
+    cos_q, sin_q = cos[:, None, :], sin[:, None, :]  # [S, 1, hd/2]
+    l_max = cache.max_len
+    ar = jnp.arange(l_max, dtype=jnp.int32)
+    read_mask = ar[None, :] <= pos[:, None]  # [S, L] attend to <= current pos
+
+    new_cache = cache
+    slot_idx = jnp.arange(s, dtype=jnp.int32)
+
+    for layer in range(p.n_layers):
+        pre = f"layers.{layer}"
+
+        def attn_fn(q, k, v, layer=layer):
+            nonlocal new_cache
+            q = q.reshape(s, p.n_heads, p.head_dim)
+            k = k.reshape(s, p.n_kv_heads, p.head_dim)
+            v = v.reshape(s, p.n_kv_heads, p.head_dim)
+            q = apply_rope(q, cos_q, sin_q)
+            k = apply_rope(k, cos_q, sin_q)
+
+            # scatter this step's K/V into [layer, slot, pos] for every
+            # *active* slot; inactive slots re-write their existing value
+            # (position -1 clamps to 0 — an unmasked write would corrupt it)
+            def masked(new, old_arr):
+                old = old_arr[layer, slot_idx, pos]
+                mask = active.reshape((s,) + (1,) * (new.ndim - 1))
+                return jnp.where(mask, new, old)
+
+            if new_cache.quantized:
+                kq, ks = _quantize_kv(k)  # [S, Hkv, hd], [S, Hkv]
+                vq, vs = _quantize_kv(v)
+                new_cache = KVCache(
+                    k=new_cache.k.at[layer, slot_idx, pos].set(masked(kq, new_cache.k)),
+                    v=new_cache.v.at[layer, slot_idx, pos].set(masked(vq, new_cache.v)),
+                    k_scale=new_cache.k_scale.at[layer, slot_idx, pos].set(masked(ks, new_cache.k_scale)),
+                    v_scale=new_cache.v_scale.at[layer, slot_idx, pos].set(masked(vs, new_cache.v_scale)),
+                )
+                k_all = new_cache.k[layer]  # [S, L, Hkv, hd] int8
+                v_all = new_cache.v[layer]
+                k_scale = new_cache.k_scale[layer]  # [S, L, Hkv]
+                v_scale = new_cache.v_scale[layer]
+            else:
+                new_cache = KVCache(
+                    k=new_cache.k.at[layer, slot_idx, pos].set(masked(k.astype(new_cache.k.dtype), new_cache.k)),
+                    v=new_cache.v.at[layer, slot_idx, pos].set(masked(v.astype(new_cache.v.dtype), new_cache.v)),
+                    k_scale=None,
+                    v_scale=None,
+                )
+                k_all = new_cache.k[layer]
+                v_all = new_cache.v[layer]
+                k_scale = v_scale = None
+
+            # grouped-query decode attention over the cache
+            n_rep = p.n_heads // p.n_kv_heads
+            qg = q.reshape(s, p.n_kv_heads, n_rep, p.head_dim)
+            # scores [S, Hkv, rep, L] = qg · k_all
+            scores = jnp.einsum("shrd,slhd->shrl", qg.astype(jnp.float32),
+                                k_all.astype(jnp.float32))
+            if k_scale is not None:
+                scores = scores * jnp.transpose(k_scale, (0, 2, 1))[:, :, None, :]
+            scores = scores / math.sqrt(p.head_dim)
+            scores = jnp.where(read_mask[:, None, None, :], scores, -1e30)
+            probs = jax.nn.softmax(scores, axis=-1)  # [S, Hkv, rep, L]
+            if v_scale is not None:
+                probs = probs * jnp.transpose(v_scale, (0, 2, 1))[:, :, None, :]
+            out = jnp.einsum("shrl,slhd->shrd", probs, v_all.astype(jnp.float32))
+            out = out.astype(x.dtype).reshape(s, p.n_heads * p.head_dim)
+            return out
+
+        x = _forward_block(params, pre, x, p, attn_fn)
+
+    logits = _logits(params, x, p)  # [S, V]
+    logits = jnp.where(active[:, None], logits, 0.0)
+    return logits, new_cache
+
+
+# ---------------------------------------------------------------------- zoo glue
+@register_architecture("llama")
+class Llama(Architecture):
+    """Model-zoo wrapper: whole-sequence forward for the generic JAX backend
+    (logits for given input_ids). Generation runs through the LLM backend
+    (tpuserve/serving), not this path."""
+
+    def _p(self) -> LlamaParams:
+        return LlamaParams.from_dict(self.params_cfg)
+
+    def init(self, rng: jax.Array) -> Dict[str, jax.Array]:
+        return init_params(rng, self._p())
+
+    def apply(self, params: Dict, inputs: Dict[str, jax.Array]) -> Dict[str, jax.Array]:
+        p = self._p()
+        tokens = inputs["input_ids"].astype(jnp.int32)
+        b, l = tokens.shape
+        x = params["embed/weight"][tokens]
+        positions = jnp.arange(l, dtype=jnp.int32)[None, :]
+        cos, sin = rope_cos_sin(positions, p.head_dim, p.rope_theta)
+        cos, sin = cos[:, :, None, :], sin[:, :, None, :]
+        mask = positions[:, :, None] >= positions[:, None, :]
+
+        for layer in range(p.n_layers):
+            def attn_fn(q, k, v):
+                q = q.reshape(b, l, p.n_heads, p.head_dim)
+                k = k.reshape(b, l, p.n_kv_heads, p.head_dim)
+                v = v.reshape(b, l, p.n_kv_heads, p.head_dim)
+                q = apply_rope(q, cos, sin)
+                k = apply_rope(k, cos, sin)
+                return _attention_prefill(q, k, v, mask).reshape(b, l, -1)
+
+            x = _forward_block(params, f"layers.{layer}", x, p, attn_fn)
+        return {"logits": _logits(params, x, p)}
+
+    def quant_predicate(self, name: str, arr) -> bool:
+        return arr.ndim == 2 and name.endswith("kernel")

@@ -8,9 +8,13 @@ per-(group, out-channel) scales, dequantized inside the matmul.
 Representation (TPU-first):
 - INT8: values stored as int8 [K, N]; scales bf16-safe f32 [K/gs, N].
 - INT4: two nibbles packed per uint8 along K -> [K//2, N]; halves HBM
-  traffic, which is the decode-bound resource. Nibble layout: element
-  2k in the low nibble, 2k+1 in the high nibble (offset-8 encoding so
-  values occupy [-8, 7]).
+  traffic, which is the decode-bound resource. Nibble layout is
+  **split-half per group** (kernel-friendly): within each scale group of
+  gs rows, packed row r holds element r in the low nibble and element
+  r + gs/2 in the high nibble (offset-8 encoding, values in [-8, 7]).
+  This lets the Pallas kernel unpack a block into two contiguous
+  [gs/2, N] sub-blocks and run two MXU matmuls against the matching
+  halves of x — no sublane interleave needed.
 
 `qmatmul` routes to the fused dequant+matmul Pallas kernel on TPU
 (tpuserve.ops.quant_matmul) and to an XLA fallback elsewhere; both share
@@ -78,27 +82,34 @@ def quantize(w, bits: int = 8, group_size: int = 128) -> QTensor:
     q = q.reshape(k, n)
     scale = scale.reshape(groups, n)
     if bits == 4:
-        if k % 2 != 0:
-            raise ValueError("INT4 packing requires even contraction dim")
+        if gs % 2 != 0:
+            raise ValueError("INT4 packing requires an even group size")
         un = (q.astype(jnp.int32) + 8).astype(jnp.uint8)  # offset-8 -> [0, 15]
-        lo = un[0::2, :]
-        hi = un[1::2, :]
-        q = (lo | (hi << 4)).astype(jnp.uint8)  # [K//2, N]
+        ug = un.reshape(groups, gs, n)
+        lo = ug[:, : gs // 2, :]
+        hi = ug[:, gs // 2 :, :]
+        q = (lo | (hi << 4)).reshape(k // 2, n).astype(jnp.uint8)  # [K//2, N]
     return QTensor(q=q, scale=scale, bits=bits, group_size=gs if groups > 1 else 0, orig_shape=(k, n))
 
 
-def unpack_int4(packed: jax.Array) -> jax.Array:
-    """uint8 [K//2, N] -> int8 [K, N] (inverse of the pack in `quantize`)."""
+def unpack_int4(packed: jax.Array, group_size: int = 0) -> jax.Array:
+    """uint8 [K//2, N] -> int8 [K, N] (inverse of the split-half-per-group
+    pack in `quantize`). `group_size` is rows of the *unpacked* group; 0
+    means a single group spanning all of K."""
+    k2, n = packed.shape
+    k = 2 * k2
+    gs = group_size if group_size > 0 else k
+    groups = k // gs
     lo = (packed & 0x0F).astype(jnp.int8) - 8
     hi = (packed >> 4).astype(jnp.int8) - 8
-    k2, n = packed.shape
-    out = jnp.stack([lo, hi], axis=1)  # [K//2, 2, N]
-    return out.reshape(2 * k2, n)
+    lo = lo.reshape(groups, gs // 2, n)
+    hi = hi.reshape(groups, gs // 2, n)
+    return jnp.concatenate([lo, hi], axis=1).reshape(k, n)
 
 
 def dequantize(qt: QTensor, dtype=jnp.float32) -> jax.Array:
     k, n = qt.orig_shape
-    q = unpack_int4(qt.q) if qt.bits == 4 else qt.q
+    q = unpack_int4(qt.q, qt.group_size) if qt.bits == 4 else qt.q
     groups = qt.scale.shape[0]
     gs = k // groups
     deq = q.reshape(groups, gs, n).astype(jnp.float32) * qt.scale[:, None, :]

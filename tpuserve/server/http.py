@@ -258,22 +258,28 @@ def _parse_inputs(body: Dict, config) -> List[Tensor]:
             np_dt = decl.data_type.np_dtype or np.float32
             arr = np.asarray(data, dtype=np_dt)
             shape = list(decl.shape)
-            if arr.ndim == 1:  # flat array: reshape to declared shape
+            if arr.ndim == 1 and len(shape) > 1:  # flat array: reshape to declared shape
                 known = 1
-                for d in shape[1:] if shape and shape[0] == -1 else shape:
+                dynamic = [i for i, d in enumerate(shape) if d == -1]
+                for d in shape:
                     if d != -1:
                         known *= d
-                if shape and shape[0] == -1:
+                if len(dynamic) == 1:
                     if known == 0 or arr.size % known != 0:
                         raise InvalidArgumentError(
                             f"input '{name}': {arr.size} elements do not fit shape {shape}"
                         )
-                    shape[0] = arr.size // known
-                else:
+                    shape[dynamic[0]] = arr.size // known
+                elif not dynamic:
                     if arr.size != known:
                         raise InvalidArgumentError(
                             f"input '{name}': expected {known} elements, got {arr.size}"
                         )
+                else:
+                    raise InvalidArgumentError(
+                        f"input '{name}': flat data is ambiguous for shape {shape}; "
+                        "send nested data or the list input form with an explicit shape"
+                    )
                 arr = arr.reshape(shape)
             tensors.append(Tensor(name=name, dtype=decl.data_type, shape=arr.shape, data=arr))
     elif isinstance(raw, list):

@@ -1,0 +1,336 @@
+"""GenerationEngine — continuous batching over a slotted KV cache.
+
+North-star serving core (BASELINE.md configs 3-4); no reference counterpart
+(the reference maps 1 HTTP request to 1 Session::Run — SURVEY.md §2b).
+
+Design:
+- S decode *slots* (config.generation.max_slots). A scheduler thread owns
+  the device loop: admit pending requests into free slots (prefill), then
+  run one batched decode step for all active slots, sample, emit, retire
+  finished slots. Requests arrive/depart without ever stopping the batch —
+  this is continuous batching, not static batching.
+- Prefill compiles once per power-of-two length bucket; decode compiles
+  once, shape [S]. The KV cache pytree is donated through both jitted
+  functions, so the cache is updated in place on device (no O(cache) copy
+  per step).
+- Per-slot sampling params + RNG; EOS/max_new_tokens tracked host-side.
+- Weights load from safetensors (flat llama.py names) and are quantized
+  on the fly per config.quantization; `model_params.init = "random"`
+  generates weights at load for fixtures/bench.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import itertools
+import os
+import queue
+import threading
+import time
+from typing import Dict, List, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from tpuserve.models import llama
+from tpuserve.models.llama import KVCache, LlamaParams
+from tpuserve.quant.core import QTensor, quantize_param_tree
+from tpuserve.repository.config import ModelConfig
+from tpuserve.serving.sampling import SamplingParams, sample
+from tpuserve.utils.dtypes import DataType
+from tpuserve.utils.errors import BackendError, InvalidArgumentError, ResourceExhaustedError
+from tpuserve.utils.tensor import Tensor
+
+_QUANT_BITS = {"int8": 8, "int4": 4}
+
+
+@dataclasses.dataclass
+class Request:
+    prompt_ids: List[int]
+    max_new_tokens: int
+    temperature: float = 0.0
+    top_k: int = 0
+    top_p: float = 1.0
+    id: int = 0
+    # filled during serving
+    output_ids: List[int] = dataclasses.field(default_factory=list)
+    done: threading.Event = dataclasses.field(default_factory=threading.Event)
+    error: Optional[str] = None
+    token_queue: "queue.Queue[Optional[int]]" = dataclasses.field(default_factory=queue.Queue)
+    finish_reason: str = ""
+
+
+@dataclasses.dataclass
+class _SlotState:
+    request: Request
+    next_pos: int  # cache position the *next* fed token occupies
+    generated: int
+    last_token: int
+
+
+class GenerationEngine:
+    def __init__(self, model_dir: str, config: ModelConfig):
+        self.config = config
+        self.model_dir = model_dir
+        self.p = LlamaParams.from_dict(config.model_params)
+        gen = config.generation
+        self.max_seq_len = int(gen.max_seq_len)
+        self.n_slots = int(gen.max_slots)
+        self.eos_token_id = int(gen.eos_token_id)
+        self.default_max_new = int(gen.max_new_tokens)
+
+        self.params = None
+        self.cache: Optional[KVCache] = None
+        self._prefill_jit = None
+        self._decode_jit = None
+        self._sample_jit = None
+        self._param_bytes = 0
+
+        self._pending: "queue.Queue[Optional[Request]]" = queue.Queue()
+        self._slots: List[Optional[_SlotState]] = [None] * self.n_slots
+        self._thread: Optional[threading.Thread] = None
+        self._running = False
+        self._req_ids = itertools.count(1)
+        self._key = jax.random.PRNGKey(int(config.model_params.get("seed", 0)))
+        self._sampling = SamplingParams.create(self.n_slots)
+        # serving counters
+        self.steps = 0
+        self.tokens_out = 0
+        self.tokens_in = 0
+
+    # ------------------------------------------------------------------ setup
+    def _load_params(self) -> Dict[str, jax.Array]:
+        init_mode = str(self.config.model_params.get("init", "")).lower()
+        st_path = os.path.join(self.model_dir, "model.safetensors")
+        if os.path.exists(st_path):
+            from safetensors.numpy import load_file
+
+            raw = load_file(st_path)
+            return {k: jnp.asarray(v, jnp.bfloat16) if np.issubdtype(v.dtype, np.floating) else jnp.asarray(v)
+                    for k, v in raw.items()}
+        if init_mode == "random":
+            return llama.init_params(jax.random.PRNGKey(42), self.p)
+        raise BackendError(
+            f"no checkpoint in {self.model_dir} and model_params.init != 'random'"
+        )
+
+    def start(self) -> None:
+        p = self.p
+        raw = self._load_params()
+        qcfg = self.config.quantization
+        bits = _QUANT_BITS.get(qcfg.weights)
+        if bits is not None:
+            def pred(name, arr):
+                return arr.ndim == 2 and name.endswith("kernel")
+
+            params = quantize_param_tree(raw, bits=bits, group_size=qcfg.group_size, predicate=pred)
+        else:
+            params = raw
+        self.params = jax.device_put(params)
+        self._param_bytes = sum(
+            x.nbytes if isinstance(x, QTensor) else x.size * x.dtype.itemsize
+            for x in jax.tree_util.tree_leaves(
+                self.params, is_leaf=lambda x: isinstance(x, QTensor)
+            )
+        )
+        self.cache = KVCache.create(
+            p, self.n_slots, self.max_seq_len, quantized=(qcfg.kv_cache == "int8")
+        )
+
+        def prefill_fn(params, tokens, cache, slot, length):
+            return llama.prefill(params, p, tokens, cache, slot, length)
+
+        def decode_fn(params, tokens, cache, positions):
+            return llama.decode_step(params, p, tokens, cache, positions)
+
+        self._prefill_jit = jax.jit(prefill_fn, donate_argnums=(2,))
+        self._decode_jit = jax.jit(decode_fn, donate_argnums=(2,))
+        self._sample_jit = jax.jit(sample)
+
+        self._running = True
+        self._thread = threading.Thread(target=self._loop, name="tpuserve-genloop", daemon=True)
+        self._thread.start()
+
+    def stop(self) -> None:
+        self._running = False
+        self._pending.put(None)
+        if self._thread is not None:
+            self._thread.join(timeout=60)
+            self._thread = None
+        self.params = None
+        self.cache = None
+
+    def memory_usage_bytes(self) -> int:
+        total = self._param_bytes
+        if self.cache is not None:
+            total += self.cache.nbytes
+        return total
+
+    # ------------------------------------------------------------------ API
+    def submit(self, prompt_ids: List[int], max_new_tokens: Optional[int] = None,
+               temperature: float = 0.0, top_k: int = 0, top_p: float = 1.0,
+               seed: Optional[int] = None) -> Request:
+        if not self._running:
+            raise BackendError("engine is not running")
+        prompt_ids = [int(t) for t in prompt_ids]
+        if not prompt_ids:
+            raise InvalidArgumentError("empty prompt")
+        if len(prompt_ids) >= self.max_seq_len:
+            raise InvalidArgumentError(
+                f"prompt length {len(prompt_ids)} exceeds max_seq_len {self.max_seq_len}"
+            )
+        req = Request(
+            prompt_ids=prompt_ids,
+            max_new_tokens=int(max_new_tokens or self.default_max_new),
+            temperature=float(temperature),
+            top_k=int(top_k),
+            top_p=float(top_p),
+            id=next(self._req_ids),
+        )
+        self._pending.put(req)
+        return req
+
+    def generate(self, prompt_ids, max_new_tokens: Optional[int] = None, **kw) -> Dict:
+        """Blocking generation; returns {"output_ids", "num_generated",
+        "finish_reason"}."""
+        req = self.submit(prompt_ids, max_new_tokens=max_new_tokens, **kw)
+        req.done.wait()
+        if req.error:
+            raise BackendError(req.error)
+        return {
+            "output_ids": list(req.prompt_ids) + list(req.output_ids),
+            "generated_ids": list(req.output_ids),
+            "num_generated": len(req.output_ids),
+            "finish_reason": req.finish_reason,
+        }
+
+    def infer_tensors(self, inputs: List[Tensor]) -> List[Tensor]:
+        by_name = {t.name: t for t in inputs}
+        if "input_ids" not in by_name:
+            raise InvalidArgumentError("LLM infer requires an 'input_ids' tensor")
+        ids = by_name["input_ids"].numpy().reshape(-1).astype(np.int64).tolist()
+        max_new = self.default_max_new
+        if "max_new_tokens" in by_name:
+            max_new = int(by_name["max_new_tokens"].numpy().reshape(-1)[0])
+        result = self.generate(ids, max_new_tokens=max_new)
+        out = np.asarray(result["output_ids"], np.int32)[None, :]
+        return [Tensor(name="output_ids", dtype=DataType.INT32, shape=out.shape, data=out)]
+
+    # ------------------------------------------------------------------ loop
+    def _bucket_len(self, n: int) -> int:
+        b = 16
+        while b < n:
+            b *= 2
+        return min(b, self.max_seq_len)
+
+    def _free_slot(self) -> Optional[int]:
+        for i, s in enumerate(self._slots):
+            if s is None:
+                return i
+        return None
+
+    def _admit(self, req: Request, slot: int) -> None:
+        l = len(req.prompt_ids)
+        bucket = self._bucket_len(l)
+        tokens = np.zeros((1, bucket), np.int32)
+        tokens[0, :l] = req.prompt_ids
+        logits, self.cache = self._prefill_jit(
+            self.params,
+            jnp.asarray(tokens),
+            self.cache,
+            jnp.int32(slot),
+            jnp.int32(l),
+        )
+        self._sampling = self._sampling.update_slot(slot, req.temperature, req.top_k, req.top_p)
+        # sample the first generated token from prefill logits
+        self._key, sub = jax.random.split(self._key)
+        full_logits = jnp.zeros((self.n_slots, logits.shape[-1]), jnp.float32).at[slot].set(logits[0])
+        tok = int(np.asarray(self._sample_jit(full_logits, self._sampling, sub))[slot])
+        self.tokens_in += l
+        self._emit(req, tok)
+        st = _SlotState(request=req, next_pos=l, generated=1, last_token=tok)
+        if self._retire_if_done(st, slot_known_free=True):
+            self._slots[slot] = None
+        else:
+            self._slots[slot] = st
+
+    def _emit(self, req: Request, tok: int) -> None:
+        req.output_ids.append(tok)
+        req.token_queue.put(tok)
+        self.tokens_out += 1
+
+    def _retire_if_done(self, st: _SlotState, slot_known_free: bool = False) -> bool:
+        req = st.request
+        if st.last_token == self.eos_token_id:
+            req.finish_reason = "eos"
+        elif st.generated >= req.max_new_tokens:
+            req.finish_reason = "max_new_tokens"
+        elif st.next_pos >= self.max_seq_len:
+            req.finish_reason = "max_seq_len"
+        else:
+            return False
+        req.token_queue.put(None)
+        req.done.set()
+        return True
+
+    def _loop(self) -> None:
+        while self._running:
+            # admit pending requests into free slots
+            admitted = False
+            while True:
+                slot = self._free_slot()
+                if slot is None:
+                    break
+                try:
+                    # block only when the whole batch is idle
+                    timeout = None if not any(self._slots) and self._pending.empty() else 0
+                    req = self._pending.get(block=(timeout is None), timeout=None)
+                except queue.Empty:
+                    break
+                if req is None:  # shutdown signal
+                    return
+                try:
+                    self._admit(req, slot)
+                    admitted = True
+                except Exception as e:
+                    req.error = str(e)
+                    req.token_queue.put(None)
+                    req.done.set()
+                if self._pending.empty():
+                    break
+
+            active = [i for i, s in enumerate(self._slots) if s is not None]
+            if not active:
+                continue
+
+            # one batched decode step
+            tokens = np.zeros((self.n_slots,), np.int32)
+            positions = np.full((self.n_slots,), -1, np.int32)
+            for i in active:
+                st = self._slots[i]
+                tokens[i] = st.last_token
+                positions[i] = st.next_pos
+            try:
+                logits, self.cache = self._decode_jit(
+                    self.params, jnp.asarray(tokens), self.cache, jnp.asarray(positions)
+                )
+                self._key, sub = jax.random.split(self._key)
+                next_tokens = np.asarray(self._sample_jit(logits, self._sampling, sub))
+            except Exception as e:
+                for i in active:
+                    st = self._slots[i]
+                    st.request.error = str(e)
+                    st.request.token_queue.put(None)
+                    st.request.done.set()
+                    self._slots[i] = None
+                continue
+            self.steps += 1
+            for i in active:
+                st = self._slots[i]
+                st.next_pos += 1
+                st.generated += 1
+                st.last_token = int(next_tokens[i])
+                self._emit(st.request, st.last_token)
+                if self._retire_if_done(st):
+                    self._slots[i] = None

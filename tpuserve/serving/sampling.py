@@ -1,0 +1,82 @@
+"""Token sampling — jittable, batched over slots.
+
+Greedy / temperature / top-k / top-p, applied per slot with per-slot
+parameters so one compiled sampler serves a mixed continuous batch.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+
+
+@jax.tree_util.register_pytree_node_class
+@dataclasses.dataclass
+class SamplingParams:
+    """Per-slot sampling parameters, each [S]-shaped."""
+
+    temperature: jax.Array  # 0 -> greedy
+    top_k: jax.Array  # 0 -> disabled
+    top_p: jax.Array  # 1 -> disabled
+
+    def tree_flatten(self):
+        return (self.temperature, self.top_k, self.top_p), ()
+
+    @classmethod
+    def tree_unflatten(cls, aux, children):
+        return cls(*children)
+
+    @classmethod
+    def create(cls, n_slots: int, temperature=0.0, top_k=0, top_p=1.0) -> "SamplingParams":
+        return cls(
+            temperature=jnp.full((n_slots,), float(temperature), jnp.float32),
+            top_k=jnp.full((n_slots,), int(top_k), jnp.int32),
+            top_p=jnp.full((n_slots,), float(top_p), jnp.float32),
+        )
+
+    def update_slot(self, slot: int, temperature: float, top_k: int, top_p: float) -> "SamplingParams":
+        return SamplingParams(
+            temperature=self.temperature.at[slot].set(float(temperature)),
+            top_k=self.top_k.at[slot].set(int(top_k)),
+            top_p=self.top_p.at[slot].set(float(top_p)),
+        )
+
+
+def sample(logits: jax.Array, params: SamplingParams, key: jax.Array) -> jax.Array:
+    """logits [S, V] -> token ids [S] int32.
+
+    All filters are applied as masks so the whole thing stays one fused XLA
+    program: temperature-scaled logits are masked by top-k rank and top-p
+    cumulative mass, then Gumbel-max sampled; temperature<=0 slots take the
+    plain argmax.
+    """
+    s, v = logits.shape
+    lf = logits.astype(jnp.float32)
+    greedy = jnp.argmax(lf, axis=-1).astype(jnp.int32)
+
+    temp = jnp.maximum(params.temperature, 1e-6)[:, None]
+    scaled = lf / temp
+
+    # top-k mask: rank of each logit within its row (descending)
+    sort_idx = jnp.argsort(-scaled, axis=-1)
+    ranks = jnp.zeros_like(sort_idx).at[
+        jnp.arange(s)[:, None], sort_idx
+    ].set(jnp.broadcast_to(jnp.arange(v)[None, :], (s, v)))
+    k = jnp.where(params.top_k[:, None] > 0, params.top_k[:, None], v)
+    scaled = jnp.where(ranks < k, scaled, -jnp.inf)
+
+    # top-p mask: keep the smallest prefix of sorted probs covering top_p
+    sorted_logits = jnp.take_along_axis(scaled, sort_idx, axis=-1)
+    sorted_probs = jax.nn.softmax(sorted_logits, axis=-1)
+    cum = jnp.cumsum(sorted_probs, axis=-1)
+    keep_sorted = (cum - sorted_probs) < params.top_p[:, None]  # always keeps rank 0
+    keep = jnp.zeros_like(keep_sorted).at[jnp.arange(s)[:, None], sort_idx].set(keep_sorted)
+    scaled = jnp.where(keep, scaled, -jnp.inf)
+
+    gumbel = -jnp.log(-jnp.log(jax.random.uniform(key, (s, v), minval=1e-10, maxval=1.0)))
+    sampled = jnp.argmax(scaled + gumbel, axis=-1).astype(jnp.int32)
+
+    return jnp.where(params.temperature > 0, sampled, greedy)
