@@ -1,0 +1,113 @@
+#!/usr/bin/env python3
+"""Headline benchmark: INT4 Llama-2-7B continuous-batching decode throughput
+on one chip (BASELINE.md configs[3]; the reference publishes no numbers —
+BASELINE.json "published": {} — so the baseline is the chip's roofline).
+
+Prints ONE JSON line:
+  {"metric": ..., "value": tokens/s/chip, "unit": "tokens/s/chip",
+   "vs_baseline": value / roofline_tokens_per_s}
+
+Roofline model: a decode step must stream every live byte once over HBM —
+quantized weights + embed table + the active KV window — at the chip's HBM
+bandwidth; tokens/s_roofline = batch_slots / step_time_roofline. Overridable
+via env: TPUSERVE_BENCH_{MODEL,BITS,SLOTS,SEQ,STEPS}.
+"""
+
+import json
+import os
+import sys
+import time
+
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", os.path.join(os.path.dirname(os.path.abspath(__file__)), ".jax_cache"))
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from tpuserve.models import llama
+from tpuserve.models.llama import KVCache, LlamaParams
+from tpuserve.models.llama_bench import init_quantized_params, param_bytes
+
+# v5e: 819 GB/s HBM, 394 bf16 TFLOP/s
+HBM_GBPS = float(os.environ.get("TPUSERVE_BENCH_HBM_GBPS", "819"))
+
+MODELS = {
+    "llama2_7b": LlamaParams.llama2_7b(),
+    "llama_1b": LlamaParams(vocab_size=32000, dim=2048, n_layers=16, n_heads=16,
+                             n_kv_heads=16, head_dim=128, ffn_dim=5504),
+    "tiny": LlamaParams.tiny(),
+}
+
+
+def main():
+    jax.config.update("jax_compilation_cache_dir", os.environ["JAX_COMPILATION_CACHE_DIR"])
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+    model_name = os.environ.get("TPUSERVE_BENCH_MODEL", "llama2_7b")
+    bits = int(os.environ.get("TPUSERVE_BENCH_BITS", "4"))
+    n_slots = int(os.environ.get("TPUSERVE_BENCH_SLOTS", "16"))
+    max_len = int(os.environ.get("TPUSERVE_BENCH_SEQ", "256"))
+    n_steps = int(os.environ.get("TPUSERVE_BENCH_STEPS", "64"))
+    p = MODELS[model_name]
+
+    t0 = time.time()
+    params = init_quantized_params(jax.random.PRNGKey(0), p, bits=bits, group_size=128)
+    params = jax.device_put(params)
+    jax.block_until_ready(jax.tree_util.tree_leaves(params))
+    wbytes = param_bytes(params)
+    print(f"# weights materialized: {wbytes/1e9:.2f} GB ({time.time()-t0:.1f}s)", file=sys.stderr)
+
+    cache = KVCache.create(p, n_slots, max_len, quantized=True)
+    kv_bytes = cache.nbytes
+    print(f"# kv cache: {kv_bytes/1e9:.2f} GB", file=sys.stderr)
+
+    def step(params, tokens, cache, positions):
+        logits, cache = llama.decode_step(params, p, tokens, cache, positions)
+        # feed greedy token back (keeps the loop on-device)
+        return jnp.argmax(logits, axis=-1).astype(jnp.int32), cache
+
+    step_jit = jax.jit(step, donate_argnums=(2,))
+
+    tokens = jnp.zeros((n_slots,), jnp.int32)
+    positions = jnp.asarray(np.random.default_rng(0).integers(64, max_len - n_steps - 2, n_slots), jnp.int32)
+
+    t0 = time.time()
+    tokens, cache = step_jit(params, tokens, cache, positions)
+    jax.block_until_ready(tokens)
+    print(f"# decode step compiled in {time.time()-t0:.1f}s", file=sys.stderr)
+
+    # timed run: chain steps on device
+    positions = positions + 1
+    t0 = time.time()
+    for i in range(n_steps):
+        tokens, cache = step_jit(params, tokens, cache, positions)
+        positions = positions + 1
+    jax.block_until_ready(tokens)
+    dt = (time.time() - t0) / n_steps
+    tokens_per_s = n_slots / dt
+
+    # roofline: weights + active KV window + embed row traffic per step
+    kv_live = 0
+    if cache is not None:
+        # attention reads the full static window (masked) in this design
+        kv_live = kv_bytes
+    step_bytes = wbytes + kv_live
+    roofline_steps = HBM_GBPS * 1e9 / step_bytes
+    roofline_tokens = roofline_steps * n_slots
+    print(
+        f"# step {dt*1e3:.2f} ms | {tokens_per_s:.0f} tok/s | roofline {roofline_tokens:.0f} tok/s",
+        file=sys.stderr,
+    )
+
+    print(json.dumps({
+        "metric": f"decode_tokens_per_s_per_chip_int{bits}_{model_name}_bs{n_slots}",
+        "value": round(tokens_per_s, 1),
+        "unit": "tokens/s/chip",
+        "vs_baseline": round(tokens_per_s / roofline_tokens, 4),
+    }))
+
+
+if __name__ == "__main__":
+    main()

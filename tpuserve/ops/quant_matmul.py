@@ -5,25 +5,22 @@ per chip").
 Computes x[B, K] @ dequant(W)[K, N] where W is INT8 [K, N] or packed INT4
 [K//2, N] with group-wise scales [G, N] (tpuserve.quant.core conventions).
 
-Design for the v5e memory system:
-- Decode (small B) is HBM-bandwidth bound on W. Blocks are sized so each
-  grid step DMAs ~1-2 MB of weights (small blocks leave the pipeline
-  latency-bound: measured 15 GB/s with 64 KB steps vs. full bandwidth with
-  MB-scale steps). The pallas pipeline double-buffers HBM->VMEM
-  automatically; the VPU converts int->bf16 and the MXU accumulates into an
-  f32 VMEM scratch that lives across the K walk of each output block.
-- Grid is (N/bn, K/bk) with K minor, so each output block stays resident
-  and is written exactly once.
-- A K block spans several scale groups; the kernel statically unrolls over
-  them, scaling each group's partial sum — dequant therefore costs one VPU
-  convert per weight element (int8), the minimum for a bf16 MXU.
+Design for the v5e memory system (numbers measured on chip):
+- Decode (small B) is HBM-bandwidth bound on W. Raw pallas streaming runs
+  at ~736 GB/s; the pipeline double-buffers W blocks HBM->VMEM while the
+  VPU converts int->bf16 and the MXU accumulates into an f32 VMEM scratch
+  that stays resident across each output block's K walk.
+- Grid is (N/bn, K/bk) with K minor; output written once at the last step.
+- Scales are passed as [G, 1, N] so each K step's rows arrive via a legal
+  BlockSpec `(gpb, 1, bn)` and the kernel indexes them STATICALLY.
+  (Slicing a full VMEM scale array at a runtime offset measured 16 GB/s —
+  ~30x slower — dynamic sublane slices lower to scalar copies.)
+- One wide MXU dot per scale group (two for the int4 halves): many narrow
+  dots per step proved MXU-issue-bound; a [bk, 4096]-wide dot does not.
 - INT4 uses the split-half-per-group packing (quant.core): each group's
-  packed rows unpack into two contiguous halves that matmul against the
-  matching halves of the x block. Nibble offset (-8) is applied in bf16
-  (int8 vector sub does not legalize in Mosaic).
-- Scales ride along as a full (unblocked) VMEM array — they are ~0.1% of
-  W's bytes — and are sliced per group inside the kernel, which keeps
-  every BlockSpec tile-legal for any group count.
+  packed block unpacks into two contiguous halves matmul'd against the
+  matching halves of x. The nibble offset is applied via int32->bf16
+  (uint8->bf16 casts and int8 vector subs do not legalize in Mosaic).
 """
 
 from __future__ import annotations
@@ -41,32 +38,41 @@ from tpuserve.quant.core import QTensor
 
 
 def _kernel(x_ref, w_ref, s_ref, o_ref, acc_ref, *, bits, gs, gpb, block_n, out_dtype):
-    """One (n-tile, k-block) step. w_ref: int8 [bk, bn] or packed uint8
-    [bk/2, bn]; s_ref: full scale array [G, N] in VMEM."""
-    i = pl.program_id(0)
+    """One (n-tile, k-block) step.
+
+    x_ref [B, bk]; w_ref int8 [bk, bn] or packed uint8 [bk/2, bn];
+    s_ref [max(gpb,1), 1, bn] — this K block's scale rows.
+    gpb = whole scale groups per K block, or 0 when a big group is split
+    across blocks (int8 only; the single scale row is shared).
+    """
     kj = pl.program_id(1)
 
     @pl.when(kj == 0)
     def _():
         acc_ref[:] = jnp.zeros_like(acc_ref)
 
-    for g in range(gpb):  # static unroll over scale groups in this K block
-        scale = s_ref[pl.ds(kj * gpb + g, 1), pl.ds(i * block_n, block_n)]  # [1, bn]
-        if bits == 8:
-            w = w_ref[g * gs : (g + 1) * gs, :].astype(jnp.bfloat16)
-            partial = jnp.dot(
-                x_ref[:, g * gs : (g + 1) * gs], w, preferred_element_type=jnp.float32
-            )
-        else:
-            half = gs // 2
-            packed = w_ref[g * half : (g + 1) * half, :]
-            lo = (packed & 0x0F).astype(jnp.bfloat16) - 8.0
-            hi = (packed >> 4).astype(jnp.bfloat16) - 8.0
-            x0 = x_ref[:, g * gs : g * gs + half]
-            x1 = x_ref[:, g * gs + half : (g + 1) * gs]
-            partial = jnp.dot(x0, lo, preferred_element_type=jnp.float32)
-            partial += jnp.dot(x1, hi, preferred_element_type=jnp.float32)
-        acc_ref[:] += partial * scale.astype(jnp.float32)
+    if gpb == 0:
+        w = w_ref[:].astype(jnp.bfloat16)
+        partial = jnp.dot(x_ref[:], w, preferred_element_type=jnp.float32)
+        acc_ref[:] += partial * s_ref[0, 0, :].astype(jnp.float32)[None, :]
+    else:
+        for g in range(gpb):  # static unroll (gpb == 1 for gs >= 128)
+            scale = s_ref[g, 0, :].astype(jnp.float32)[None, :]
+            if bits == 8:
+                w = w_ref[g * gs : (g + 1) * gs, :].astype(jnp.bfloat16)
+                partial = jnp.dot(
+                    x_ref[:, g * gs : (g + 1) * gs], w, preferred_element_type=jnp.float32
+                )
+            else:
+                half = gs // 2
+                packed = w_ref[g * half : (g + 1) * half, :].astype(jnp.int32)
+                lo = ((packed & 0x0F) - 8).astype(jnp.bfloat16)
+                hi = ((packed >> 4) - 8).astype(jnp.bfloat16)
+                x0 = x_ref[:, g * gs : g * gs + half]
+                x1 = x_ref[:, g * gs + half : (g + 1) * gs]
+                partial = jnp.dot(x0, lo, preferred_element_type=jnp.float32)
+                partial += jnp.dot(x1, hi, preferred_element_type=jnp.float32)
+            acc_ref[:] += partial * scale
 
     @pl.when(kj == pl.num_programs(1) - 1)
     def _():
@@ -87,9 +93,19 @@ def _quant_matmul_impl(
     out_dtype = jnp.dtype(out_dtype_name)
     b = x.shape[0]
     gs = group_size if group_size > 0 else k
-    gpb = block_k // gs
+    if block_k >= gs:
+        gpb, spg = block_k // gs, 1
+    else:
+        gpb, spg = 0, gs // block_k  # big group split across K steps (int8)
     grid = (n // block_n, k // block_k)
     w_rows = block_k // 2 if bits == 4 else block_k
+    scale3 = scale[:, None, :]  # [G, 1, N] -> legal (?, 1, bn) blocks
+
+    s_rows = max(gpb, 1)
+    if gpb == 0:
+        s_index = lambda i, j, spg=spg: (j // spg, 0, i)
+    else:
+        s_index = lambda i, j: (j, 0, i)
 
     return pl.pallas_call(
         functools.partial(
@@ -100,7 +116,7 @@ def _quant_matmul_impl(
         in_specs=[
             pl.BlockSpec((b, block_k), lambda i, j: (0, j), memory_space=pltpu.VMEM),
             pl.BlockSpec((w_rows, block_n), lambda i, j: (j, i), memory_space=pltpu.VMEM),
-            pl.BlockSpec(memory_space=pltpu.VMEM),  # full scale array [G, N]
+            pl.BlockSpec((s_rows, 1, block_n), s_index, memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec((b, block_n), lambda i, j: (0, i), memory_space=pltpu.VMEM),
         scratch_shapes=[pltpu.VMEM((b, block_n), jnp.float32)],
@@ -115,25 +131,40 @@ def _quant_matmul_impl(
             transcendentals=0,
         ),
         interpret=interpret,
-    )(x, q, scale)
+    )(x, q, scale3)
 
 
 def _pick_blocks(k: int, n: int, gs: int, bits: int, b: int) -> tuple:
-    """Choose (block_n, block_k) so one weight block is ~1-2 MB (pipeline
-    efficiency) while respecting group and VMEM limits."""
-    block_n = 512 if n % 512 == 0 else (256 if n % 256 == 0 else 128)
-    while block_n > 128 and n % block_n != 0:
-        block_n //= 2
-    bytes_per_row = block_n * (0.5 if bits == 4 else 1)
-    target_rows = int((1.5 * 1024 * 1024) / bytes_per_row)
-    block_k = gs
+    """Choose (block_n, block_k).
+
+    Measured on v5e: bk=512, bn=4096 streams int8 weights at ~470 GB/s
+    (vs 736 GB/s raw streaming); narrow n-tiles or many narrow dots per
+    step collapse to latency-bound. So: one (or few) wide dots per step,
+    W block ~1-2 MB, everything double-buffered within ~6 MB of VMEM.
+    """
+    if gs >= 128:
+        block_k = gs
+        if bits == 8:
+            while block_k > 512 and block_k % 2 == 0 and k % block_k == 0:
+                block_k //= 2  # split big groups so blocks stay ~VMEM-sized
+            if block_k != gs and gs % block_k != 0:
+                block_k = gs
+    else:
+        block_k = gs
+        while block_k < 128 and (block_k * 2) <= k and k % (block_k * 2) == 0:
+            block_k *= 2
+    if k % block_k != 0:
+        block_k = gs
+
+    # widest n-block that keeps double-buffered w + acc comfortably in VMEM
+    w_rows = block_k // 2 if bits == 4 else block_k
+    block_n = 128
     while (
-        block_k * 2 <= k
-        and k % (block_k * 2) == 0
-        and block_k * 2 <= target_rows
-        and block_k * 2 <= 4096
+        block_n < 8192
+        and block_n < n
+        and (2 * block_n) * w_rows * 2 + b * (2 * block_n) * 4 < 6 * 1024 * 1024
     ):
-        block_k *= 2
+        block_n *= 2
     return block_n, block_k
 
 
@@ -161,7 +192,7 @@ def quant_matmul(
     b = x2.shape[0]
     out_dtype = jnp.dtype(out_dtype) if out_dtype is not None else x.dtype
     gs = qt.group_size if qt.group_size > 0 else k
-    if bool(qt.bits == 4) and gs % 2 != 0:
+    if qt.bits == 4 and gs % 2 != 0:
         raise ValueError("int4 requires even group size")
 
     # batch tile: bf16 x wants 16 sublanes, f32 8
@@ -174,7 +205,8 @@ def quant_matmul(
     bn = block_n or auto_bn
     bn = min(bn, _round_up(n, 128))
     bk = block_k or auto_bk
-    if k % bk != 0 or bk % gs != 0:
+    sub_group_ok = qt.bits == 8 and gs % bk == 0  # big group split across steps
+    if k % bk != 0 or not (bk % gs == 0 or sub_group_ok):
         raise ValueError(f"cannot block K={k} with block_k={bk}, group_size={gs}")
 
     n_pad = _round_up(n, bn)

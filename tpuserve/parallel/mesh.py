@@ -1,0 +1,44 @@
+"""Device mesh construction.
+
+The TPU-native replacement for the reference's (absent) distributed backend
+(SURVEY.md §2b): scaling is expressed as a `jax.sharding.Mesh` over
+("dp", "tp") axes; XLA's SPMD partitioner inserts the all-reduce /
+all-gather collectives over ICI. Multi-host extends the same mesh across
+processes via `jax.distributed.initialize` — the serving code is identical.
+
+Axis convention:
+- "dp": data parallel — decode slots / request batches replicate weights.
+- "tp": tensor parallel — attention heads and FFN columns shard; KV cache
+  shards over heads on the same axis so attention never crosses chips.
+"""
+
+from __future__ import annotations
+
+from typing import List, Optional, Sequence
+
+import jax
+import numpy as np
+from jax.sharding import Mesh
+
+
+def mesh_devices(n: Optional[int] = None) -> List:
+    devs = jax.devices()
+    if n is not None:
+        if n > len(devs):
+            raise ValueError(f"requested {n} devices, have {len(devs)}")
+        devs = devs[:n]
+    return devs
+
+
+def make_mesh(tp: int = 1, dp: int = 1, devices: Optional[Sequence] = None) -> Mesh:
+    """Mesh with axes ("dp", "tp"). tp should map to the fastest (ICI-
+    adjacent) axis, so it is the minor mesh dimension."""
+    devs = list(devices) if devices is not None else mesh_devices(tp * dp)
+    if len(devs) != tp * dp:
+        raise ValueError(f"need {tp * dp} devices for dp={dp} tp={tp}, have {len(devs)}")
+    arr = np.array(devs).reshape(dp, tp)
+    return Mesh(arr, axis_names=("dp", "tp"))
+
+
+def single_device_mesh() -> Mesh:
+    return make_mesh(tp=1, dp=1)

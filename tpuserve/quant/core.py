@@ -124,7 +124,12 @@ def qmatmul(x: jax.Array, qt: QTensor, *, use_pallas: Optional[bool] = None) -> 
     through XLA, which fuses the scale multiply into the matmul epilogue.
     """
     if use_pallas is None:
-        use_pallas = jax.devices()[0].platform == "tpu"
+        import os
+
+        use_pallas = (
+            jax.devices()[0].platform == "tpu"
+            and os.environ.get("TPUSERVE_QMATMUL", "pallas").lower() != "xla"
+        )
     if use_pallas:
         from tpuserve.ops.quant_matmul import quant_matmul
 
