@@ -86,13 +86,32 @@ def _version_sort_key(v: str):
 
 
 class ModelRepository:
-    """Thread-safe scanner over `repository_path/<model>/<version>/`."""
+    """Thread-safe scanner over `repository_path/<model>/<version>/`.
+
+    When the native runtime (libtpuserve.so, native/src/repository.cpp) is
+    built, the filesystem walk runs there (≙ the reference's C++ scanner
+    reached over CGO); otherwise a pure-Python walk with identical
+    semantics. Disable with TPUSERVE_NATIVE=0.
+    """
 
     def __init__(self, repository_path: str):
         self._path = os.path.abspath(repository_path)
         self._lock = threading.Lock()
         self._models: Dict[str, List[str]] = {}  # name -> versions (desc)
+        self._native = None
+        if os.environ.get("TPUSERVE_NATIVE", "1") != "0":
+            try:
+                from tpuserve.bindings import native
+
+                if native.available():
+                    self._native = native.NativeRepository(self._path)
+            except Exception:
+                self._native = None
         self.scan()
+
+    @property
+    def uses_native(self) -> bool:
+        return self._native is not None
 
     # ------------------------------------------------------------------
     @property
@@ -103,6 +122,11 @@ class ModelRepository:
         """Re-walk the repository. A model directory counts if at least one
         version subdirectory contains a recognized marker file or a
         config.json (≙ ScanRepository, model_repository.cpp:18-66)."""
+        if self._native is not None:
+            found = {k: list(v) for k, v in self._native.scan().items()}
+            with self._lock:
+                self._models = found
+            return dict(found)
         found: Dict[str, List[str]] = {}
         if os.path.isdir(self._path):
             for name in sorted(os.listdir(self._path)):
