@@ -75,16 +75,19 @@ def main():
 
     t0 = time.time()
     tokens, cache = step_jit(params, tokens, cache, positions)
-    jax.block_until_ready(tokens)
+    np.asarray(tokens)
     print(f"# decode step compiled in {time.time()-t0:.1f}s", file=sys.stderr)
 
-    # timed run: chain steps on device
+    # timed run: steps chain through tokens + donated cache. The final
+    # np.asarray is the fence — on this environment's remote device path,
+    # block_until_ready alone can report before the work is actually done
+    # (measured 27x optimistic); fetching bytes to host cannot lie.
     positions = positions + 1
     t0 = time.time()
     for i in range(n_steps):
         tokens, cache = step_jit(params, tokens, cache, positions)
         positions = positions + 1
-    jax.block_until_ready(tokens)
+    np.asarray(tokens)
     dt = (time.time() - t0) / n_steps
     tokens_per_s = n_slots / dt
 

@@ -1,0 +1,142 @@
+#!/usr/bin/env python3
+"""Convert a HuggingFace Llama checkpoint to a tpuserve repository entry.
+
+Maps HF parameter names to the flat tpuserve/models/llama.py naming and
+writes `<repo>/<name>/<version>/{model.safetensors, config.json}` ready for
+`POST /models/<name>/load` (quantization applied at load per the generated
+config's `quantization` block).
+
+Usage:
+  python scripts/convert_hf_llama.py --hf-dir /path/to/Llama-2-7b-hf \
+      --output-dir models --name llama2_7b --quant int4 --kv-cache int8
+
+Works from either a single model.safetensors or sharded
+model-0000x-of-0000y.safetensors files; reads HF config.json for shapes.
+"""
+
+from __future__ import annotations
+
+import argparse
+import glob
+import json
+import os
+
+import numpy as np
+
+
+def hf_key_map(n_layers: int):
+    m = {
+        "model.embed_tokens.weight": "embed/weight",
+        "model.norm.weight": "final_norm/scale",
+        "lm_head.weight": "lm_head/kernel.T",  # HF stores [V, D]; ours is [D, V]
+    }
+    for l in range(n_layers):
+        hf = f"model.layers.{l}"
+        ours = f"layers.{l}"
+        m[f"{hf}.input_layernorm.weight"] = f"{ours}/attn_norm/scale"
+        m[f"{hf}.post_attention_layernorm.weight"] = f"{ours}/mlp_norm/scale"
+        m[f"{hf}.self_attn.q_proj.weight"] = f"{ours}/wq/kernel.T"
+        m[f"{hf}.self_attn.k_proj.weight"] = f"{ours}/wk/kernel.T"
+        m[f"{hf}.self_attn.v_proj.weight"] = f"{ours}/wv/kernel.T"
+        m[f"{hf}.self_attn.o_proj.weight"] = f"{ours}/wo/kernel.T"
+        m[f"{hf}.mlp.gate_proj.weight"] = f"{ours}/w_gate/kernel.T"
+        m[f"{hf}.mlp.up_proj.weight"] = f"{ours}/w_up/kernel.T"
+        m[f"{hf}.mlp.down_proj.weight"] = f"{ours}/w_down/kernel.T"
+    return m
+
+
+def convert(hf_dir: str, output_dir: str, name: str, version: str,
+            quant: str, kv_cache: str, max_slots: int, max_seq_len: int) -> str:
+    from safetensors.numpy import load_file, save_file
+
+    with open(os.path.join(hf_dir, "config.json")) as f:
+        hf_cfg = json.load(f)
+
+    n_layers = int(hf_cfg["num_hidden_layers"])
+    n_heads = int(hf_cfg["num_attention_heads"])
+    n_kv_heads = int(hf_cfg.get("num_key_value_heads", n_heads))
+    dim = int(hf_cfg["hidden_size"])
+    head_dim = int(hf_cfg.get("head_dim", dim // n_heads))
+    key_map = hf_key_map(n_layers)
+
+    shards = sorted(glob.glob(os.path.join(hf_dir, "model*.safetensors")))
+    if not shards:
+        raise FileNotFoundError(f"no safetensors shards in {hf_dir}")
+
+    out = {}
+    tied = bool(hf_cfg.get("tie_word_embeddings", False))
+    for shard in shards:
+        weights = load_file(shard)
+        for hf_name, arr in weights.items():
+            target = key_map.get(hf_name)
+            if target is None:
+                if "rotary_emb" in hf_name:
+                    continue  # rotary tables are recomputed
+                print(f"  skipping unmapped param {hf_name}")
+                continue
+            arr = np.asarray(arr)
+            if target.endswith(".T"):
+                target = target[:-2]
+                arr = np.ascontiguousarray(arr.T)
+            out[target] = arr.astype(np.float32) if arr.dtype == np.float64 else arr
+        del weights
+
+    if tied and "lm_head/kernel" not in out:
+        out["lm_head/kernel"] = np.ascontiguousarray(out["embed/weight"].T)
+
+    vdir = os.path.join(output_dir, name, version)
+    os.makedirs(vdir, exist_ok=True)
+    save_file(out, os.path.join(vdir, "model.safetensors"))
+
+    cfg = {
+        "name": name,
+        "version": version,
+        "platform": "llm",
+        "architecture": "llama",
+        "inputs": [{"name": "input_ids", "shape": [1, -1], "data_type": "INT32"}],
+        "outputs": [{"name": "output_ids", "shape": [1, -1], "data_type": "INT32"}],
+        "model_params": {
+            "vocab_size": int(hf_cfg["vocab_size"]),
+            "dim": dim,
+            "n_layers": n_layers,
+            "n_heads": n_heads,
+            "n_kv_heads": n_kv_heads,
+            "head_dim": head_dim,
+            "ffn_dim": int(hf_cfg["intermediate_size"]),
+            "rope_theta": float(hf_cfg.get("rope_theta", 10000.0)),
+            "rms_eps": float(hf_cfg.get("rms_norm_eps", 1e-5)),
+        },
+        "generation": {
+            "max_seq_len": max_seq_len,
+            "max_slots": max_slots,
+            "eos_token_id": int(hf_cfg.get("eos_token_id", 2)),
+        },
+        "quantization": {
+            "weights": quant,
+            "group_size": 128,
+            "kv_cache": kv_cache,
+        },
+    }
+    with open(os.path.join(vdir, "config.json"), "w") as f:
+        json.dump(cfg, f, indent=2)
+    print(f"converted {len(out)} params -> {vdir}")
+    return vdir
+
+
+def main():
+    p = argparse.ArgumentParser(description=__doc__)
+    p.add_argument("--hf-dir", required=True)
+    p.add_argument("--output-dir", default="models")
+    p.add_argument("--name", default="llama")
+    p.add_argument("--version", default="1")
+    p.add_argument("--quant", default="int4", choices=["none", "int8", "int4"])
+    p.add_argument("--kv-cache", default="int8", choices=["none", "int8"])
+    p.add_argument("--max-slots", type=int, default=16)
+    p.add_argument("--max-seq-len", type=int, default=2048)
+    a = p.parse_args()
+    convert(a.hf_dir, a.output_dir, a.name, a.version, a.quant, a.kv_cache,
+            a.max_slots, a.max_seq_len)
+
+
+if __name__ == "__main__":
+    main()

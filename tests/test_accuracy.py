@@ -1,0 +1,86 @@
+"""Quantization accuracy gates at test scale (BASELINE.md: ≤0.1 perplexity
+delta for LLM INT4 vs FP16; ≤0.5% top-1 for CNNs — here scaled to a tiny
+llama and synthetic data, asserting the same *kind* of invariant: quantized
+perplexity tracks the fp32 model closely)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from tpuserve.models import llama
+from tpuserve.models.llama import LlamaParams
+from tpuserve.quant.core import quantize_param_tree
+from tpuserve.repository.config import ModelConfig
+from tpuserve.models.registry import get_architecture
+
+P = LlamaParams(vocab_size=256, dim=128, n_layers=2, n_heads=4, n_kv_heads=4,
+                head_dim=32, ffn_dim=256)
+
+
+def _arch():
+    return get_architecture(ModelConfig(name="m", architecture="llama", model_params={
+        "vocab_size": P.vocab_size, "dim": P.dim, "n_layers": P.n_layers,
+        "n_heads": P.n_heads, "n_kv_heads": P.n_kv_heads, "head_dim": P.head_dim,
+        "ffn_dim": P.ffn_dim,
+    }))
+
+
+def _perplexity(arch, params, tokens):
+    out = arch.apply(params, {"input_ids": jnp.asarray(tokens)})
+    logits = np.asarray(out["logits"], np.float64)[:, :-1, :]
+    targets = np.asarray(tokens)[:, 1:]
+    logp = logits - np.log(np.exp(logits - logits.max(-1, keepdims=True)).sum(-1, keepdims=True)) - logits.max(-1, keepdims=True)
+    nll = -np.take_along_axis(logp, targets[..., None], axis=-1).mean()
+    return float(np.exp(nll))
+
+
+@pytest.fixture(scope="module")
+def setup():
+    arch = _arch()
+    params = arch.init(jax.random.PRNGKey(3))
+    params = {k: jnp.asarray(v, jnp.float32) for k, v in params.items()}
+    tokens = np.random.default_rng(0).integers(0, P.vocab_size, (4, 64)).astype(np.int32)
+    return arch, params, tokens
+
+
+def test_int8_perplexity_gate(setup):
+    arch, params, tokens = setup
+    base = _perplexity(arch, params, tokens)
+    q8 = quantize_param_tree(params, bits=8, group_size=32, predicate=arch.quant_predicate)
+    ppl8 = _perplexity(arch, q8, tokens)
+    # random init => ppl near vocab_size; gate on relative drift
+    assert abs(ppl8 - base) / base < 0.02, (base, ppl8)
+
+
+def test_int4_perplexity_gate(setup):
+    arch, params, tokens = setup
+    base = _perplexity(arch, params, tokens)
+    q4 = quantize_param_tree(params, bits=4, group_size=32, predicate=arch.quant_predicate)
+    ppl4 = _perplexity(arch, q4, tokens)
+    assert abs(ppl4 - base) / base < 0.10, (base, ppl4)
+
+
+def test_int8_kv_cache_logits_close():
+    """INT8 KV decode logits track the bf16-KV decode logits."""
+    from tpuserve.models.llama import KVCache
+
+    params = llama.init_params(jax.random.PRNGKey(1), P, dtype=jnp.float32)
+    prompt = np.array([[7, 42, 99, 13, 5, 21, 8, 3]], np.int32)
+    tokens16 = np.zeros((1, 16), np.int32)
+    tokens16[0, :8] = prompt
+
+    outs = {}
+    for quantized in (False, True):
+        cache = KVCache.create(P, 1, 32, quantized=quantized, dtype=jnp.float32)
+        logits, cache = llama.prefill(params, P, jnp.asarray(tokens16), cache,
+                                      jnp.int32(0), jnp.int32(8))
+        t = jnp.asarray(np.array([int(np.argmax(np.asarray(logits)[0]))], np.int32))
+        pos = jnp.asarray(np.array([8], np.int32))
+        logits2, _ = llama.decode_step(params, P, t, cache, pos)
+        outs[quantized] = np.asarray(logits2[0])
+
+    ref, q = outs[False], outs[True]
+    cc = np.corrcoef(ref, q)[0, 1]
+    assert cc > 0.999, cc
+    assert np.argmax(ref) == np.argmax(q)

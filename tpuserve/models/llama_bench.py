@@ -48,12 +48,10 @@ def init_quantized_params(
         pre = f"layers.{l}"
         params[f"{pre}/attn_norm/scale"] = jnp.ones((p.dim,), dtype)
         params[f"{pre}/mlp_norm/scale"] = jnp.ones((p.dim,), dtype)
-        params[f"{pre}/wq/kernel"] = qweight(p.dim, qd)
-        params[f"{pre}/wk/kernel"] = qweight(p.dim, kvd)
-        params[f"{pre}/wv/kernel"] = qweight(p.dim, kvd)
+        # fused projections (see llama._forward_block): fewer, wider kernels
+        params[f"{pre}/wqkv/kernel"] = qweight(p.dim, qd + 2 * kvd)
         params[f"{pre}/wo/kernel"] = qweight(qd, p.dim)
-        params[f"{pre}/w_gate/kernel"] = qweight(p.dim, p.ffn_dim)
-        params[f"{pre}/w_up/kernel"] = qweight(p.dim, p.ffn_dim)
+        params[f"{pre}/w_gateup/kernel"] = qweight(p.dim, 2 * p.ffn_dim)
         params[f"{pre}/w_down/kernel"] = qweight(p.ffn_dim, p.dim)
     return params
 

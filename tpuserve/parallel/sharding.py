@@ -27,7 +27,10 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 from tpuserve.models.llama import KVCache, LlamaParams
 from tpuserve.quant.core import QTensor
 
-_COL = ("wq/kernel", "wk/kernel", "wv/kernel", "w_gate/kernel", "w_up/kernel", "lm_head/kernel")
+_COL = (
+    "wq/kernel", "wk/kernel", "wv/kernel", "wqkv/kernel",
+    "w_gate/kernel", "w_up/kernel", "w_gateup/kernel", "lm_head/kernel",
+)
 _ROW = ("wo/kernel", "w_down/kernel")
 
 

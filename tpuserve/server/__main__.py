@@ -19,8 +19,32 @@ def main():
     )
     p.add_argument("--host", default=os.environ.get("TPUSERVE_HOST", "0.0.0.0"))
     p.add_argument("--port", type=int, default=int(os.environ.get("TPUSERVE_PORT", "8080")))
+    p.add_argument(
+        "--grpc-port",
+        type=int,
+        default=int(os.environ.get("TPUSERVE_GRPC_PORT", "0")),
+        help="also serve gRPC on this port (0 = disabled)",
+    )
     args = p.parse_args()
-    run_server(args.repository, host=args.host, port=args.port)
+
+    if args.grpc_port:
+        # one manager shared by both frontends
+        from aiohttp import web
+
+        from tpuserve.engine.manager import InferenceManager
+        from tpuserve.server.grpc import create_grpc_server
+        from tpuserve.server.http import create_app
+
+        manager = InferenceManager(args.repository)
+        grpc_server = create_grpc_server(manager, args.grpc_port, args.host)
+        grpc_server.start()
+        app = create_app(args.repository, manager=manager)
+        try:
+            web.run_app(app, host=args.host, port=args.port, shutdown_timeout=5.0, print=None)
+        finally:
+            grpc_server.stop(grace=5.0)
+    else:
+        run_server(args.repository, host=args.host, port=args.port)
 
 
 if __name__ == "__main__":

@@ -117,7 +117,7 @@ class GenerationEngine:
 
     def start(self) -> None:
         p = self.p
-        raw = self._load_params()
+        raw = llama.fuse_params(self._load_params(), p)
         qcfg = self.config.quantization
         bits = _QUANT_BITS.get(qcfg.weights)
         if bits is not None:
