@@ -47,9 +47,10 @@ def main():
 
     model_name = os.environ.get("TPUSERVE_BENCH_MODEL", "llama2_7b")
     bits = int(os.environ.get("TPUSERVE_BENCH_BITS", "4"))
-    n_slots = int(os.environ.get("TPUSERVE_BENCH_SLOTS", "16"))
+    n_slots = int(os.environ.get("TPUSERVE_BENCH_SLOTS", "64"))
     max_len = int(os.environ.get("TPUSERVE_BENCH_SEQ", "256"))
-    n_steps = int(os.environ.get("TPUSERVE_BENCH_STEPS", "64"))
+    inner_steps = int(os.environ.get("TPUSERVE_BENCH_INNER", "8"))
+    outer_steps = int(os.environ.get("TPUSERVE_BENCH_STEPS", "32")) // inner_steps
     p = MODELS[model_name]
 
     t0 = time.time()
@@ -63,18 +64,34 @@ def main():
     kv_bytes = cache.nbytes
     print(f"# kv cache: {kv_bytes/1e9:.2f} GB", file=sys.stderr)
 
-    def step(params, tokens, cache, positions):
-        logits, cache = llama.decode_step(params, p, tokens, cache, positions)
-        # feed greedy token back (keeps the loop on-device)
-        return jnp.argmax(logits, axis=-1).astype(jnp.int32), cache
+    def multistep(params, tokens, cache, positions):
+        """inner_steps decode iterations per dispatch: greedy token fed back
+        on-device via lax.scan (host dispatch costs ~4 ms on this relay;
+        the serving engine amortizes the same way)."""
 
-    step_jit = jax.jit(step, donate_argnums=(2,))
+        def body(carry, _):
+            toks, cache, pos = carry
+            logits, cache = llama.decode_step(params, p, toks, cache, pos)
+            toks = jnp.argmax(logits, axis=-1).astype(jnp.int32)
+            return (toks, cache, pos + 1), toks
+
+        (tokens, cache, positions), out = jax.lax.scan(
+            body, (tokens, cache, positions), None, length=inner_steps
+        )
+        return tokens, cache, positions, out
+
+    step_jit = jax.jit(multistep, donate_argnums=(2,))
 
     tokens = jnp.zeros((n_slots,), jnp.int32)
-    positions = jnp.asarray(np.random.default_rng(0).integers(64, max_len - n_steps - 2, n_slots), jnp.int32)
+    positions = jnp.asarray(
+        np.random.default_rng(0).integers(
+            64, max_len - inner_steps * (outer_steps + 1) - 2, n_slots
+        ),
+        jnp.int32,
+    )
 
     t0 = time.time()
-    tokens, cache = step_jit(params, tokens, cache, positions)
+    tokens, cache, positions, _ = step_jit(params, tokens, cache, positions)
     np.asarray(tokens)
     print(f"# decode step compiled in {time.time()-t0:.1f}s", file=sys.stderr)
 
@@ -82,13 +99,11 @@ def main():
     # np.asarray is the fence — on this environment's remote device path,
     # block_until_ready alone can report before the work is actually done
     # (measured 27x optimistic); fetching bytes to host cannot lie.
-    positions = positions + 1
     t0 = time.time()
-    for i in range(n_steps):
-        tokens, cache = step_jit(params, tokens, cache, positions)
-        positions = positions + 1
+    for i in range(outer_steps):
+        tokens, cache, positions, _ = step_jit(params, tokens, cache, positions)
     np.asarray(tokens)
-    dt = (time.time() - t0) / n_steps
+    dt = (time.time() - t0) / (outer_steps * inner_steps)
     tokens_per_s = n_slots / dt
 
     # roofline: weights + active KV window + embed row traffic per step

@@ -141,8 +141,13 @@ class GenerationEngine:
         def prefill_fn(params, tokens, cache, slot, length):
             return llama.prefill(params, p, tokens, cache, slot, length)
 
-        def decode_fn(params, tokens, cache, positions):
-            return llama.decode_step(params, p, tokens, cache, positions)
+        def decode_fn(params, tokens, cache, positions, sampling, key):
+            """Decode + sample in ONE dispatch: host round-trips cost ~4 ms
+            each on remote-device setups, so the loop fetches only the
+            sampled token ids."""
+            logits, cache = llama.decode_step(params, p, tokens, cache, positions)
+            next_tokens = sample(logits, sampling, key)
+            return next_tokens, cache
 
         self._prefill_jit = jax.jit(prefill_fn, donate_argnums=(2,))
         self._decode_jit = jax.jit(decode_fn, donate_argnums=(2,))
@@ -312,11 +317,16 @@ class GenerationEngine:
                 tokens[i] = st.last_token
                 positions[i] = st.next_pos
             try:
-                logits, self.cache = self._decode_jit(
-                    self.params, jnp.asarray(tokens), self.cache, jnp.asarray(positions)
-                )
                 self._key, sub = jax.random.split(self._key)
-                next_tokens = np.asarray(self._sample_jit(logits, self._sampling, sub))
+                next_dev, self.cache = self._decode_jit(
+                    self.params,
+                    jnp.asarray(tokens),
+                    self.cache,
+                    jnp.asarray(positions),
+                    self._sampling,
+                    sub,
+                )
+                next_tokens = np.asarray(next_dev)
             except Exception as e:
                 for i in active:
                     st = self._slots[i]
