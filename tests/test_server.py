@@ -229,3 +229,82 @@ def test_classification_labels(api, repo_dir, tmp_path):
         assert out["classifications"][0]["label"].startswith("class_")
 
     api(body)
+
+
+def test_streaming_generate(api, repo_dir):
+    """REST streaming generation: newline-delimited JSON token chunks."""
+    async def body(c):
+        import json as _json
+        import os
+
+        vdir = os.path.join(repo_dir, "tiny_llm", "1")
+        os.makedirs(vdir)
+        with open(os.path.join(vdir, "config.json"), "w") as f:
+            _json.dump({
+                "name": "tiny_llm", "platform": "llm", "architecture": "llama",
+                "model_params": {"vocab_size": 128, "dim": 32, "n_layers": 1,
+                                  "n_heads": 2, "n_kv_heads": 2, "head_dim": 16,
+                                  "ffn_dim": 64, "init": "random"},
+                "generation": {"max_seq_len": 64, "max_slots": 2,
+                                "eos_token_id": 2, "max_new_tokens": 5},
+            }, f)
+        r = await c.post("/models/tiny_llm/load")
+        assert r.status == 202
+
+        # non-streaming reference
+        r = await c.post("/models/tiny_llm/generate",
+                          json={"input_ids": [5, 9], "max_new_tokens": 4})
+        assert r.status == 200
+        ref = (await r.json())["generated_ids"]
+
+        # streaming: same tokens, chunk per token, final done record
+        r = await c.post("/models/tiny_llm/generate",
+                          json={"input_ids": [5, 9], "max_new_tokens": 4, "stream": True})
+        assert r.status == 200
+        assert r.headers["Content-Type"].startswith("application/x-ndjson")
+        lines = [l for l in (await r.text()).splitlines() if l]
+        chunks = [_json.loads(l) for l in lines]
+        assert chunks[-1]["done"] is True
+        streamed = [ch["token"] for ch in chunks if "token" in ch]
+        assert streamed == ref
+
+    api(body)
+
+
+def test_orbax_checkpoint_loading(api, repo_dir):
+    """A model shipped as an orbax checkpoint/ dir loads and serves."""
+    async def body(c):
+        import json as _json
+        import os
+
+        import jax
+        import orbax.checkpoint as ocp
+
+        from tpuserve.fixtures import make_test_model_weights
+
+        vdir = os.path.join(repo_dir, "orbax_model", "1")
+        os.makedirs(vdir)
+        weights = {k: v for k, v in make_test_model_weights().items()}
+        with ocp.PyTreeCheckpointer() as checkpointer:
+            checkpointer.save(os.path.join(vdir, "checkpoint"), weights)
+        with open(os.path.join(vdir, "config.json"), "w") as f:
+            _json.dump({
+                "name": "orbax_model", "platform": "jax", "architecture": "mlp",
+                "inputs": [{"name": "input", "shape": [1, 3], "data_type": "FLOAT32"}],
+                "outputs": [{"name": "output", "shape": [1, 2], "data_type": "FLOAT32"}],
+                "model_params": {"features": [5, 2]},
+            }, f)
+        r = await c.post("/models/orbax_model/load")
+        assert r.status == 202, await r.text()
+        r = await c.post("/models/orbax_model/infer",
+                          json={"inputs": {"input": [1.0, 1.0, 1.0]}})
+        assert r.status == 200
+        import numpy as np
+
+        from tpuserve.fixtures import reference_mlp_forward
+
+        out = (await r.json())["outputs"][0]["data"]
+        expected = reference_mlp_forward(make_test_model_weights(), np.ones((1, 3), np.float32))
+        np.testing.assert_allclose(np.array(out), expected.reshape(-1), rtol=1e-5)
+
+    api(body)

@@ -37,7 +37,8 @@ _QUANT_BITS = {"int8": 8, "int4": 4}
 
 def load_checkpoint(model_dir: str) -> Dict[str, np.ndarray]:
     """Flat param dict from the version directory. Formats: model.safetensors
-    (primary), params.npz."""
+    (primary), params.npz, or an orbax `checkpoint/` directory (nested trees
+    are flattened with '/'-joined keys)."""
     st = os.path.join(model_dir, "model.safetensors")
     if os.path.exists(st):
         from safetensors.numpy import load_file
@@ -47,7 +48,29 @@ def load_checkpoint(model_dir: str) -> Dict[str, np.ndarray]:
     if os.path.exists(npz):
         with np.load(npz) as data:
             return {k: data[k] for k in data.files}
-    raise BackendError(f"no checkpoint found in {model_dir} (model.safetensors / params.npz)")
+    ckpt = os.path.join(model_dir, "checkpoint")
+    if os.path.isdir(ckpt):
+        try:
+            import orbax.checkpoint as ocp
+
+            with ocp.PyTreeCheckpointer() as checkpointer:
+                tree = checkpointer.restore(ckpt)
+        except Exception as e:
+            raise BackendError(f"failed to restore orbax checkpoint {ckpt}: {e}")
+        flat: Dict[str, np.ndarray] = {}
+
+        def walk(prefix, node):
+            if isinstance(node, dict):
+                for k, v in node.items():
+                    walk(f"{prefix}/{k}" if prefix else str(k), v)
+            else:
+                flat[prefix] = np.asarray(node)
+
+        walk("", tree)
+        return flat
+    raise BackendError(
+        f"no checkpoint found in {model_dir} (model.safetensors / params.npz / checkpoint/)"
+    )
 
 
 def _bucket(n: int, max_batch: int) -> int:

@@ -408,6 +408,30 @@ async def handle_generate(request):
     for k in ("max_new_tokens", "temperature", "top_k", "top_p", "seed"):
         if k in body:
             kw[k] = body[k]
+
+    if body.get("stream") or request.query.get("stream"):
+        # newline-delimited JSON chunks: {"token": t} ... {"done": true, ...}
+        try:
+            req = await _in_thread(backend.engine.submit, ids, **kw)
+        except TpuServeError as e:
+            return _json_error(_error_status(e), str(e))
+        resp = web.StreamResponse(headers={"Content-Type": "application/x-ndjson"})
+        await resp.prepare(request)
+        n = 0
+        while True:
+            tok = await _in_thread(req.token_queue.get)
+            if tok is None:
+                model.stats.record_tokens(generated=n, prefilled=len(ids))
+                await resp.write(
+                    json.dumps({"done": True, "finish_reason": req.finish_reason,
+                                 "num_generated": n}).encode() + b"\n"
+                )
+                break
+            n += 1
+            await resp.write(json.dumps({"token": int(tok)}).encode() + b"\n")
+        await resp.write_eof()
+        return resp
+
     try:
         t0 = time.perf_counter_ns()
         result = await _in_thread(backend.generate, ids, **kw)
