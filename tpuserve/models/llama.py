@@ -72,8 +72,6 @@ class LlamaParams:
 def init_params(rng: jax.Array, p: LlamaParams, dtype=jnp.bfloat16) -> Dict[str, jax.Array]:
     """Random-init weights (flat dict). Serving normally loads a checkpoint;
     this exists for tests/bench fixtures."""
-    keys = {}
-    i = 0
 
     def nxt():
         nonlocal rng
