@@ -255,3 +255,31 @@ class TestGenerationEngine:
             assert len(got) > 3
         finally:
             m.shutdown()
+
+
+class TestEngineRobustness:
+    def test_stop_fails_outstanding_requests(self, tmp_path):
+        """stop() must complete queued requests with an error, not strand
+        blocked callers."""
+        vdir = _write_llm_repo(tmp_path, max_slots=1, name="tiny_stop")
+        cfg = ModelConfig.from_file(os.path.join(vdir, "config.json"))
+        eng = GenerationEngine(vdir, cfg)
+        eng.start()
+        # occupy the slot with a long generation, queue more behind it
+        r1 = eng.submit([5, 9], max_new_tokens=2000)
+        r2 = eng.submit([7, 7], max_new_tokens=5)
+        eng.stop()
+        assert r1.done.wait(timeout=10)
+        assert r2.done.wait(timeout=10)
+        assert r2.error is not None  # never admitted
+
+    def test_generate_after_stop_raises(self, tmp_path):
+        vdir = _write_llm_repo(tmp_path, name="tiny_stop2")
+        cfg = ModelConfig.from_file(os.path.join(vdir, "config.json"))
+        eng = GenerationEngine(vdir, cfg)
+        eng.start()
+        eng.stop()
+        from tpuserve.utils.errors import BackendError
+
+        with pytest.raises(BackendError):
+            eng.generate([1, 2, 3])

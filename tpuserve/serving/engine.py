@@ -163,8 +163,28 @@ class GenerationEngine:
         if self._thread is not None:
             self._thread.join(timeout=60)
             self._thread = None
+        self._fail_outstanding("engine stopped")
         self.params = None
         self.cache = None
+
+    def _fail_outstanding(self, reason: str) -> None:
+        """Complete every in-flight and queued request with an error so no
+        caller blocks forever across a stop/crash."""
+        for i, st in enumerate(self._slots):
+            if st is not None:
+                st.request.error = reason
+                st.request.token_queue.put(None)
+                st.request.done.set()
+                self._slots[i] = None
+        while True:
+            try:
+                req = self._pending.get_nowait()
+            except queue.Empty:
+                break
+            if req is not None:
+                req.error = reason
+                req.token_queue.put(None)
+                req.done.set()
 
     def memory_usage_bytes(self) -> int:
         total = self._param_bytes
@@ -255,9 +275,7 @@ class GenerationEngine:
         self.tokens_in += l
         self._emit(req, tok)
         st = _SlotState(request=req, next_pos=l, generated=1, last_token=tok)
-        if self._retire_if_done(st, slot_known_free=True):
-            self._slots[slot] = None
-        else:
+        if not self._retire_if_done(st):
             self._slots[slot] = st
 
     def _emit(self, req: Request, tok: int) -> None:
@@ -265,7 +283,7 @@ class GenerationEngine:
         req.token_queue.put(tok)
         self.tokens_out += 1
 
-    def _retire_if_done(self, st: _SlotState, slot_known_free: bool = False) -> bool:
+    def _retire_if_done(self, st: _SlotState) -> bool:
         req = st.request
         if st.last_token == self.eos_token_id:
             req.finish_reason = "eos"
@@ -280,6 +298,13 @@ class GenerationEngine:
         return True
 
     def _loop(self) -> None:
+        try:
+            self._loop_inner()
+        except Exception as e:  # scheduler must never die silently
+            self._fail_outstanding(f"generation loop crashed: {e}")
+            self._running = False
+
+    def _loop_inner(self) -> None:
         while self._running:
             # admit pending requests into free slots
             admitted = False
