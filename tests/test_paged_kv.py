@@ -1,0 +1,187 @@
+"""Paged KV cache tests: allocator bookkeeping (native or fallback), paged
+model math == contiguous math, engine equivalence, page exhaustion, and
+capacity behavior beyond the contiguous reservation model."""
+
+import json
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from tpuserve.models import llama
+from tpuserve.models.llama import KVCache, LlamaParams
+from tpuserve.repository.config import ModelConfig
+from tpuserve.serving.engine import GenerationEngine
+from tpuserve.serving.paged_kv import PagedKVCache, PageTableManager, make_allocator
+from tpuserve.utils.errors import ResourceExhaustedError
+
+P = LlamaParams.tiny()
+
+
+class TestPageTableManager:
+    def test_alloc_grow_release(self):
+        ptm = PageTableManager(n_pages=9, page_size=16, n_slots=2, max_len=64)
+        assert ptm.free_pages == 8  # page 0 reserved
+        ptm.ensure(0, 20)  # 2 pages
+        assert ptm.free_pages == 6
+        table = np.asarray(ptm.device_table())
+        assert (table[0][:2] > 0).all() and (table[0][2:] == 0).all()
+        assert (table[1] == 0).all()
+        ptm.ensure(0, 33)  # grows to 3, keeps existing pages
+        table2 = np.asarray(ptm.device_table())
+        np.testing.assert_array_equal(table2[0][:2], table[0][:2])
+        assert table2[0][2] > 0
+        ptm.release(0)
+        assert ptm.free_pages == 8
+        assert (np.asarray(ptm.device_table()) == 0).all()
+
+    def test_exhaustion_raises(self):
+        ptm = PageTableManager(n_pages=3, page_size=16, n_slots=2, max_len=64)
+        ptm.ensure(0, 32)  # 2 pages = all
+        with pytest.raises(ResourceExhaustedError):
+            ptm.ensure(1, 16)
+
+    def test_zero_page_never_allocated(self):
+        ptm = PageTableManager(n_pages=5, page_size=16, n_slots=4, max_len=64)
+        for s in range(4):
+            ptm.ensure(s, 16)
+        table = np.asarray(ptm.device_table())
+        assert (table[:, 0] != 0).all()
+        assert len(set(table[:, 0].tolist())) == 4  # distinct pages
+
+
+class TestPagedModelMath:
+    @pytest.mark.parametrize("quantized", [False, True])
+    def test_paged_matches_contiguous(self, quantized):
+        """prefill+decode through pages == contiguous cache, same tokens."""
+        params = llama.init_params(jax.random.PRNGKey(0), P, dtype=jnp.float32)
+        prompt = [5, 17, 100, 42, 7]
+        ps, n_pages, max_len = 16, 9, 64
+
+        # contiguous reference
+        cacheC = KVCache.create(P, 2, max_len, quantized=quantized, dtype=jnp.float32)
+        tokens = np.zeros((1, 16), np.int32)
+        tokens[0, : len(prompt)] = prompt
+        logitsC, cacheC = llama.prefill(
+            params, P, jnp.asarray(tokens), cacheC, jnp.int32(0), jnp.int32(len(prompt))
+        )
+
+        # paged
+        cacheP = PagedKVCache.create(P, n_pages, ps, quantized=quantized, dtype=jnp.float32)
+        ptm = PageTableManager(n_pages, ps, n_slots=2, max_len=max_len)
+        ptm.ensure(0, 16)  # bucket
+        logitsP, cacheP = llama.prefill_paged(
+            params, P, jnp.asarray(tokens), cacheP, ptm.device_table(),
+            jnp.int32(0), jnp.int32(len(prompt)),
+        )
+        np.testing.assert_allclose(
+            np.asarray(logitsP), np.asarray(logitsC), rtol=1e-4, atol=1e-4
+        )
+
+        # several decode steps, both paths fed identical tokens
+        tokC = tokP = int(np.argmax(np.asarray(logitsC)[0]))
+        pos = len(prompt)
+        for _ in range(4):
+            t = np.array([tokC, 0], np.int32)
+            pv = np.array([pos, -1], np.int32)
+            logitsC, cacheC = llama.decode_step(params, P, jnp.asarray(t), cacheC, jnp.asarray(pv))
+            ptm.ensure(0, pos + 1)
+            logitsP, cacheP = llama.decode_step_paged(
+                params, P, jnp.asarray(np.array([tokP, 0], np.int32)), cacheP,
+                ptm.device_table(), jnp.asarray(pv),
+            )
+            np.testing.assert_allclose(
+                np.asarray(logitsP)[0], np.asarray(logitsC)[0], rtol=1e-3, atol=1e-3
+            )
+            tokC = int(np.argmax(np.asarray(logitsC)[0]))
+            tokP = int(np.argmax(np.asarray(logitsP)[0]))
+            assert tokP == tokC
+            pos += 1
+
+
+def _paged_repo(tmp_path, name="paged_llm", paged=True, num_pages=0, max_slots=3):
+    vdir = os.path.join(str(tmp_path), name, "1")
+    os.makedirs(vdir, exist_ok=True)
+    cfg = {
+        "name": name, "platform": "llm", "architecture": "llama",
+        "model_params": {"vocab_size": P.vocab_size, "dim": P.dim,
+                          "n_layers": P.n_layers, "n_heads": P.n_heads,
+                          "n_kv_heads": P.n_kv_heads, "head_dim": P.head_dim,
+                          "ffn_dim": P.ffn_dim, "init": "random"},
+        "generation": {"max_seq_len": 64, "max_slots": max_slots, "page_size": 16,
+                        "paged": paged, "num_pages": num_pages,
+                        "eos_token_id": 2, "max_new_tokens": 6},
+        "quantization": {"kv_cache": "int8"},
+    }
+    with open(os.path.join(vdir, "config.json"), "w") as f:
+        json.dump(cfg, f)
+    return vdir
+
+
+class TestPagedEngine:
+    def test_paged_engine_matches_contiguous(self, tmp_path):
+        vd_p = _paged_repo(tmp_path, "paged_llm", paged=True)
+        vd_c = _paged_repo(tmp_path, "contig_llm", paged=False)
+        eng_p = GenerationEngine(vd_p, ModelConfig.from_file(os.path.join(vd_p, "config.json")))
+        eng_c = GenerationEngine(vd_c, ModelConfig.from_file(os.path.join(vd_c, "config.json")))
+        eng_p.start()
+        eng_c.start()
+        try:
+            for prompt in ([5, 17, 100], [9, 9], [3, 1, 4, 1, 5]):
+                rp = eng_p.generate(prompt, max_new_tokens=5)
+                rc = eng_c.generate(prompt, max_new_tokens=5)
+                assert rp["output_ids"] == rc["output_ids"]
+            # all pages returned after retirement
+            assert eng_p.ptm.free_pages == eng_p.ptm._alloc.total_pages
+        finally:
+            eng_p.stop()
+            eng_c.stop()
+
+    def test_page_exhaustion_fails_request_cleanly(self, tmp_path):
+        # pool of 3 usable pages; one slot's 16-token bucket = 1 page, so the
+        # third concurrent long generation runs out mid-decode or at admit
+        vdir = _paged_repo(tmp_path, "tight_llm", num_pages=4, max_slots=3)
+        eng = GenerationEngine(vdir, ModelConfig.from_file(os.path.join(vdir, "config.json")))
+        eng.start()
+        try:
+            # total need per request: 14 prompt + 10 new = 24 tokens = 2 pages;
+            # 3 concurrent requests x 2 > 3 usable pages -> some must fail,
+            # and their released pages let at least one finish
+            reqs = [eng.submit([7] * 14, max_new_tokens=10) for _ in range(3)]
+            done = [r.done.wait(timeout=120) for r in reqs]
+            assert all(done)
+            outcomes = [(r.error, r.finish_reason, len(r.output_ids)) for r in reqs]
+            finished_ok = [o for o in outcomes if o[0] is None]
+            exhausted = [o for o in outcomes if o[0] is not None]
+            assert finished_ok, outcomes  # someone made progress
+            for err, reason, _ in exhausted:
+                assert "exhausted" in err.lower() or reason == "kv_pages_exhausted"
+            # pool fully recovered
+            assert eng.ptm.free_pages == eng.ptm._alloc.total_pages
+        finally:
+            eng.stop()
+
+    def test_capacity_beats_contiguous_reservation(self, tmp_path):
+        """With page_size 16 and a pool of 8 usable pages, 3 slots x 64-token
+        reservation would need 12 pages — but short sequences fit fine."""
+        vdir = _paged_repo(tmp_path, "cap_llm", num_pages=9, max_slots=3)
+        eng = GenerationEngine(vdir, ModelConfig.from_file(os.path.join(vdir, "config.json")))
+        eng.start()
+        try:
+            results = [eng.generate([5, 9, 2 + i], max_new_tokens=4) for i in range(4)]
+            assert all(r["num_generated"] >= 1 for r in results)
+        finally:
+            eng.stop()
+
+
+def test_allocator_backend_selection():
+    alloc = make_allocator(8, 16)
+    from tpuserve.bindings import native
+
+    if native.available():
+        assert type(alloc).__name__ == "NativeKvAllocator"
+    assert alloc.ensure(1, 20)
+    assert alloc.page_table(1) is not None and len(alloc.page_table(1)) == 2
+    assert alloc.release(1)

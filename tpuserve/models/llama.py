@@ -339,6 +339,38 @@ def prefill(params, p: LlamaParams, tokens: jax.Array, cache: KVCache,
 
 
 # ---------------------------------------------------------------------- decode
+def _gqa_decode_attention(q, k_all, v_all, k_scale, v_scale, read_mask,
+                          p: LlamaParams, out_dtype):
+    """Shared decode attention over a logical [S, L, Hkv, hd] K/V view
+    (contiguous slice or gathered pages). q: [S, H*hd] post-RoPE.
+    Batch-gemm einsums; int8 reads convert to bf16 (fuses into the dot),
+    f32 accumulation; INT8 scales fold in at O(L)."""
+    s = q.shape[0]
+    n_rep = p.n_heads // p.n_kv_heads
+    qg = q.reshape(s, p.n_kv_heads, n_rep, p.head_dim)
+    cdt = jnp.float32 if k_all.dtype == jnp.float32 else jnp.bfloat16
+    scores = jnp.einsum(
+        "shrd,slhd->shrl",
+        qg.astype(cdt),
+        k_all.astype(cdt),
+        preferred_element_type=jnp.float32,
+    )  # [S, Hkv, rep, L] f32
+    if k_scale is not None:
+        scores = scores * jnp.transpose(k_scale, (0, 2, 1))[:, :, None, :]
+    scores = scores / math.sqrt(p.head_dim)
+    scores = jnp.where(read_mask[:, None, None, :], scores, -1e30)
+    probs = jax.nn.softmax(scores, axis=-1)
+    if v_scale is not None:
+        probs = probs * jnp.transpose(v_scale, (0, 2, 1))[:, :, None, :]
+    out = jnp.einsum(
+        "shrl,slhd->shrd",
+        probs.astype(cdt),
+        v_all.astype(cdt),
+        preferred_element_type=jnp.float32,
+    )
+    return out.astype(out_dtype).reshape(s, p.n_heads * p.head_dim)
+
+
 def decode_step(params, p: LlamaParams, tokens: jax.Array, cache: KVCache,
                 positions: jax.Array):
     """One continuous-batching decode step over all S slots.
@@ -452,6 +484,149 @@ def decode_step(params, p: LlamaParams, tokens: jax.Array, cache: KVCache,
         x = _forward_block(params, pre, x, p, attn_fn)
 
     logits = _logits(params, x, p)  # [S, V]
+    logits = jnp.where(active[:, None], logits, 0.0)
+    return logits, new_cache
+
+
+# ---------------------------------------------------------------------- paged
+def prefill_paged(params, p: LlamaParams, tokens: jax.Array, cache,
+                  page_table: jax.Array, slot: jax.Array, length: jax.Array):
+    """Prefill into a PagedKVCache (tpuserve/serving/paged_kv.py).
+
+    tokens [1, L_bucket]; page_table [S, P] (page ids into the pool, 0 =
+    reserved zero page); the engine guarantees the slot's chain covers the
+    whole bucket. Returns (logits_last [1, V], updated cache).
+    """
+    from tpuserve.serving.paged_kv import PagedKVCache
+
+    b, l = tokens.shape
+    ps = cache.page_size
+    x = params["embed/weight"][tokens]
+    positions = jnp.arange(l, dtype=jnp.int32)[None, :]
+    cos, sin = rope_cos_sin(positions, p.head_dim, p.rope_theta)
+    cos, sin = cos[:, :, None, :], sin[:, :, None, :]
+    valid = positions < length
+    mask = valid[:, None, :] & (positions[:, :, None] >= positions[:, None, :])
+
+    # physical coordinates of logical positions 0..l-1 in this slot
+    lpos = jnp.arange(l, dtype=jnp.int32)
+    row = page_table[slot]  # [P]
+    page_ids = row[lpos // ps]  # [L]
+    offsets = lpos % ps  # [L]
+
+    new_cache = cache
+    for layer in range(p.n_layers):
+        pre = f"layers.{layer}"
+
+        def attn_fn(q, k, v, layer=layer):
+            nonlocal new_cache
+            q = q.reshape(b, l, p.n_heads, p.head_dim)
+            k = k.reshape(b, l, p.n_kv_heads, p.head_dim)
+            v = v.reshape(b, l, p.n_kv_heads, p.head_dim)
+            q = apply_rope(q, cos, sin)
+            k = apply_rope(k, cos, sin)
+            if new_cache.quantized:
+                kq, ks = _quantize_kv(k[0])  # [L, Hkv, hd], [L, Hkv]
+                vq, vs = _quantize_kv(v[0])
+                new_cache = PagedKVCache(
+                    k=new_cache.k.at[layer, page_ids, offsets].set(kq),
+                    v=new_cache.v.at[layer, page_ids, offsets].set(vq),
+                    k_scale=new_cache.k_scale.at[layer, page_ids, offsets].set(ks),
+                    v_scale=new_cache.v_scale.at[layer, page_ids, offsets].set(vs),
+                )
+            else:
+                new_cache = PagedKVCache(
+                    k=new_cache.k.at[layer, page_ids, offsets].set(k[0].astype(new_cache.k.dtype)),
+                    v=new_cache.v.at[layer, page_ids, offsets].set(v[0].astype(new_cache.v.dtype)),
+                    k_scale=None,
+                    v_scale=None,
+                )
+            out = _attention_prefill(q, k, v, mask)
+            return out.reshape(b, l, p.n_heads * p.head_dim)
+
+        x = _forward_block(params, pre, x, p, attn_fn)
+
+    last = jnp.take_along_axis(x, (length - 1)[None, None, None], axis=1)[:, 0, :]
+    return _logits(params, last, p), new_cache
+
+
+def decode_step_paged(params, p: LlamaParams, tokens: jax.Array, cache,
+                      page_table: jax.Array, positions: jax.Array):
+    """One decode step over a PagedKVCache.
+
+    page_table [S, P]; positions [S] (-1 = inactive). The engine guarantees
+    every active slot's chain covers positions[s]+1 tokens. The logical
+    [S, P*page_size, Hkv, hd] view is gathered per layer (capacity-for-
+    bandwidth tradeoff documented in paged_kv.py)."""
+    from tpuserve.serving.paged_kv import PagedKVCache
+
+    s = tokens.shape[0]
+    ps = cache.page_size
+    active = positions >= 0
+    pos = jnp.maximum(positions, 0)
+    x = params["embed/weight"][tokens]
+    cos, sin = rope_cos_sin(pos, p.head_dim, p.rope_theta)
+    cos_q, sin_q = cos[:, None, :], sin[:, None, :]
+    l_virt = page_table.shape[1] * ps
+    ar = jnp.arange(l_virt, dtype=jnp.int32)
+    read_mask = ar[None, :] <= pos[:, None]
+
+    # physical write coordinates per slot; inactive slots target the zero
+    # page and re-write its (zero) contents via the masked gather below
+    slot_idx = jnp.arange(s, dtype=jnp.int32)
+    wpage = page_table[slot_idx, pos // ps] * active.astype(jnp.int32)  # 0 when inactive
+    woff = (pos % ps) * active.astype(jnp.int32)
+
+    new_cache = cache
+    for layer in range(p.n_layers):
+        pre = f"layers.{layer}"
+
+        def attn_fn(q, k, v, layer=layer):
+            nonlocal new_cache
+            q = q.reshape(s, p.n_heads, p.head_dim)
+            k = k.reshape(s, p.n_kv_heads, p.head_dim)
+            v = v.reshape(s, p.n_kv_heads, p.head_dim)
+            q = apply_rope(q, cos_q, sin_q)
+            k = apply_rope(k, cos_q, sin_q)
+
+            def masked(new, old_arr):
+                old = old_arr[layer, wpage, woff]
+                m = active.reshape((s,) + (1,) * (new.ndim - 1))
+                return jnp.where(m, new, old)
+
+            if new_cache.quantized:
+                kq, ks = _quantize_kv(k)
+                vq, vs = _quantize_kv(v)
+                new_cache = PagedKVCache(
+                    k=new_cache.k.at[layer, wpage, woff].set(masked(kq, new_cache.k)),
+                    v=new_cache.v.at[layer, wpage, woff].set(masked(vq, new_cache.v)),
+                    k_scale=new_cache.k_scale.at[layer, wpage, woff].set(masked(ks, new_cache.k_scale)),
+                    v_scale=new_cache.v_scale.at[layer, wpage, woff].set(masked(vs, new_cache.v_scale)),
+                )
+            else:
+                new_cache = PagedKVCache(
+                    k=new_cache.k.at[layer, wpage, woff].set(masked(k.astype(new_cache.k.dtype), new_cache.k)),
+                    v=new_cache.v.at[layer, wpage, woff].set(masked(v.astype(new_cache.v.dtype), new_cache.v)),
+                    k_scale=None,
+                    v_scale=None,
+                )
+
+            # gather the logical per-slot view from the page pool
+            kp = new_cache.k[layer][page_table]  # [S, P, ps, Hkv, hd]
+            k_all = kp.reshape(s, l_virt, p.n_kv_heads, p.head_dim)
+            v_all = new_cache.v[layer][page_table].reshape(s, l_virt, p.n_kv_heads, p.head_dim)
+            if new_cache.quantized:
+                k_scale = new_cache.k_scale[layer][page_table].reshape(s, l_virt, p.n_kv_heads)
+                v_scale = new_cache.v_scale[layer][page_table].reshape(s, l_virt, p.n_kv_heads)
+            else:
+                k_scale = v_scale = None
+            return _gqa_decode_attention(
+                q.reshape(s, -1), k_all, v_all, k_scale, v_scale, read_mask, p, x.dtype
+            )
+
+        x = _forward_block(params, pre, x, p, attn_fn)
+
+    logits = _logits(params, x, p)
     logits = jnp.where(active[:, None], logits, 0.0)
     return logits, new_cache
 

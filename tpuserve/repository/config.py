@@ -114,7 +114,9 @@ class GenerationConfig:
 
     max_seq_len: int = 2048
     max_slots: int = 8  # concurrent sequences in the continuous batch
+    paged: bool = False  # paged KV cache (pages allocated on demand)
     page_size: int = 128  # tokens per KV page
+    num_pages: int = 0  # page-pool size; 0 = capacity parity with contiguous
     eos_token_id: int = 2
     temperature: float = 0.0
     top_k: int = 0

@@ -81,7 +81,8 @@ class GenerationEngine:
         self.default_max_new = int(gen.max_new_tokens)
 
         self.params = None
-        self.cache: Optional[KVCache] = None
+        self.cache = None  # KVCache or PagedKVCache
+        self.ptm = None  # PageTableManager (paged mode only)
         self._prefill_jit = None
         self._decode_jit = None
         self._sample_jit = None
@@ -134,20 +135,43 @@ class GenerationEngine:
                 self.params, is_leaf=lambda x: isinstance(x, QTensor)
             )
         )
-        self.cache = KVCache.create(
-            p, self.n_slots, self.max_seq_len, quantized=(qcfg.kv_cache == "int8")
-        )
+        gen = self.config.generation
+        quant_kv = qcfg.kv_cache == "int8"
+        if gen.paged:
+            from tpuserve.serving.paged_kv import PagedKVCache, PageTableManager
 
-        def prefill_fn(params, tokens, cache, slot, length):
-            return llama.prefill(params, p, tokens, cache, slot, length)
+            ps = int(gen.page_size)
+            max_pages = -(-self.max_seq_len // ps)
+            num_pages = int(gen.num_pages) or self.n_slots * max_pages + 1
+            self.cache = PagedKVCache.create(self.p, num_pages, ps, quantized=quant_kv)
+            self.ptm = PageTableManager(num_pages, ps, self.n_slots, self.max_seq_len)
+        else:
+            self.cache = KVCache.create(
+                p, self.n_slots, self.max_seq_len, quantized=quant_kv
+            )
+            self.ptm = None
 
-        def decode_fn(params, tokens, cache, positions, sampling, key):
-            """Decode + sample in ONE dispatch: host round-trips cost ~4 ms
-            each on remote-device setups, so the loop fetches only the
-            sampled token ids."""
-            logits, cache = llama.decode_step(params, p, tokens, cache, positions)
-            next_tokens = sample(logits, sampling, key)
-            return next_tokens, cache
+        if gen.paged:
+
+            def prefill_fn(params, tokens, cache, table, slot, length):
+                return llama.prefill_paged(params, p, tokens, cache, table, slot, length)
+
+            def decode_fn(params, tokens, cache, table, positions, sampling, key):
+                logits, cache = llama.decode_step_paged(
+                    params, p, tokens, cache, table, positions
+                )
+                return sample(logits, sampling, key), cache
+        else:
+
+            def prefill_fn(params, tokens, cache, slot, length):
+                return llama.prefill(params, p, tokens, cache, slot, length)
+
+            def decode_fn(params, tokens, cache, positions, sampling, key):
+                """Decode + sample in ONE dispatch: host round-trips cost
+                ~4 ms each on remote-device setups, so the loop fetches only
+                the sampled token ids."""
+                logits, cache = llama.decode_step(params, p, tokens, cache, positions)
+                return sample(logits, sampling, key), cache
 
         self._prefill_jit = jax.jit(prefill_fn, donate_argnums=(2,))
         self._decode_jit = jax.jit(decode_fn, donate_argnums=(2,))
@@ -176,6 +200,8 @@ class GenerationEngine:
                 st.request.token_queue.put(None)
                 st.request.done.set()
                 self._slots[i] = None
+                if self.ptm is not None:
+                    self.ptm.release(i)
         while True:
             try:
                 req = self._pending.get_nowait()
@@ -260,13 +286,24 @@ class GenerationEngine:
         bucket = self._bucket_len(l)
         tokens = np.zeros((1, bucket), np.int32)
         tokens[0, :l] = req.prompt_ids
-        logits, self.cache = self._prefill_jit(
-            self.params,
-            jnp.asarray(tokens),
-            self.cache,
-            jnp.int32(slot),
-            jnp.int32(l),
-        )
+        if self.ptm is not None:
+            self.ptm.ensure(slot, bucket)  # raises ResourceExhaustedError
+            logits, self.cache = self._prefill_jit(
+                self.params,
+                jnp.asarray(tokens),
+                self.cache,
+                self.ptm.device_table(),
+                jnp.int32(slot),
+                jnp.int32(l),
+            )
+        else:
+            logits, self.cache = self._prefill_jit(
+                self.params,
+                jnp.asarray(tokens),
+                self.cache,
+                jnp.int32(slot),
+                jnp.int32(l),
+            )
         self._sampling = self._sampling.update_slot(slot, req.temperature, req.top_k, req.top_p)
         # sample the first generated token from prefill logits
         self._key, sub = jax.random.split(self._key)
@@ -275,7 +312,10 @@ class GenerationEngine:
         self.tokens_in += l
         self._emit(req, tok)
         st = _SlotState(request=req, next_pos=l, generated=1, last_token=tok)
-        if not self._retire_if_done(st):
+        if self._retire_if_done(st):
+            if self.ptm is not None:
+                self.ptm.release(slot)
+        else:
             self._slots[slot] = st
 
     def _emit(self, req: Request, tok: int) -> None:
@@ -341,16 +381,44 @@ class GenerationEngine:
                 st = self._slots[i]
                 tokens[i] = st.last_token
                 positions[i] = st.next_pos
+            if self.ptm is not None:
+                # grow page chains for the token each active slot is writing
+                for i in list(active):
+                    st = self._slots[i]
+                    try:
+                        self.ptm.ensure(i, st.next_pos + 1)
+                    except Exception as e:
+                        st.request.error = str(e)
+                        st.request.finish_reason = "kv_pages_exhausted"
+                        st.request.token_queue.put(None)
+                        st.request.done.set()
+                        self.ptm.release(i)
+                        self._slots[i] = None
+                        positions[i] = -1
+                        active.remove(i)
+                if not active:
+                    continue
             try:
                 self._key, sub = jax.random.split(self._key)
-                next_dev, self.cache = self._decode_jit(
-                    self.params,
-                    jnp.asarray(tokens),
-                    self.cache,
-                    jnp.asarray(positions),
-                    self._sampling,
-                    sub,
-                )
+                if self.ptm is not None:
+                    next_dev, self.cache = self._decode_jit(
+                        self.params,
+                        jnp.asarray(tokens),
+                        self.cache,
+                        self.ptm.device_table(),
+                        jnp.asarray(positions),
+                        self._sampling,
+                        sub,
+                    )
+                else:
+                    next_dev, self.cache = self._decode_jit(
+                        self.params,
+                        jnp.asarray(tokens),
+                        self.cache,
+                        jnp.asarray(positions),
+                        self._sampling,
+                        sub,
+                    )
                 next_tokens = np.asarray(next_dev)
             except Exception as e:
                 for i in active:
@@ -369,3 +437,5 @@ class GenerationEngine:
                 self._emit(st.request, st.last_token)
                 if self._retire_if_done(st):
                     self._slots[i] = None
+                    if self.ptm is not None:
+                        self.ptm.release(i)
