@@ -131,3 +131,72 @@ class TestQuantizedModelServing:
             assert np.median(rel) < 0.05
         finally:
             m.shutdown()
+
+
+class TestInt8Activations:
+    def test_w8a8_matches_float(self, rng, w):
+        from tpuserve.quant.core import _w8a8_matmul, quantize_activation
+        import dataclasses as dc
+
+        x = rng.normal(size=(4, 256)).astype(np.float32)
+        qt = dc.replace(quantize(w, bits=8, group_size=0), act_bits=8)
+        out = np.asarray(qmatmul(jnp.asarray(x), qt))
+        ref = x @ w
+        rel = np.abs(out - ref) / (np.abs(ref) + 1e-2)
+        assert np.median(rel) < 0.02  # w8a8 ~2% median error
+
+    def test_act_quant_roundtrip(self, rng):
+        from tpuserve.quant.core import quantize_activation
+
+        x = rng.normal(size=(3, 64)).astype(np.float32) * 5
+        q, s = quantize_activation(jnp.asarray(x))
+        deq = np.asarray(q).astype(np.float32) * np.asarray(s)
+        assert np.max(np.abs(deq - x)) <= np.max(np.asarray(s)) / 2 + 1e-5
+
+    def test_group_scales_rejected_for_w8a8(self, rng, w):
+        import dataclasses as dc
+
+        qt = dc.replace(quantize(w, bits=8, group_size=128), act_bits=8)
+        with pytest.raises(ValueError):
+            qmatmul(jnp.asarray(rng.normal(size=(2, 256)).astype(np.float32)), qt)
+
+    def test_param_tree_act_bits(self, rng):
+        params = {"d/kernel": rng.normal(size=(64, 32)).astype(np.float32)}
+        qp = quantize_param_tree(params, bits=8, group_size=128, act_bits=8)
+        assert qp["d/kernel"].act_bits == 8
+        assert qp["d/kernel"].group_size == 0  # forced per-channel
+
+    def test_mixed_repo_model_with_int8_activations(self, tmp_path, rng):
+        """configs[2] scenario: model served with INT8 weights AND INT8
+        activations end-to-end through the manager."""
+        import json
+
+        from safetensors.numpy import save_file
+
+        from tpuserve.engine import InferenceManager
+        from tpuserve.utils.tensor import Tensor
+
+        vdir = tmp_path / "bert_a8" / "1"
+        vdir.mkdir(parents=True)
+        w1 = rng.normal(size=(64, 128)).astype(np.float32)
+        w2 = rng.normal(size=(128, 16)).astype(np.float32)
+        save_file({"dense1/kernel": w1, "dense1/bias": np.zeros(128, np.float32),
+                   "dense2/kernel": w2, "dense2/bias": np.zeros(16, np.float32)},
+                  str(vdir / "model.safetensors"))
+        (vdir / "config.json").write_text(json.dumps({
+            "name": "bert_a8", "platform": "jax", "architecture": "mlp",
+            "inputs": [{"name": "input", "shape": [1, 64], "data_type": "FLOAT32"}],
+            "outputs": [{"name": "output", "shape": [1, 16], "data_type": "FLOAT32"}],
+            "model_params": {"features": [128, 16]},
+            "quantization": {"weights": "int8", "activations": "int8"},
+        }))
+        m = InferenceManager(str(tmp_path))
+        try:
+            m.load_model("bert_a8")
+            x = rng.normal(size=(1, 64)).astype(np.float32)
+            out = m.run_inference("bert_a8", [Tensor.from_numpy("input", x)])[0].numpy()
+            ref = np.maximum(x @ w1, 0) @ w2
+            rel = np.abs(out - ref) / (np.abs(ref) + 1e-1)
+            assert np.median(rel) < 0.05
+        finally:
+            m.shutdown()

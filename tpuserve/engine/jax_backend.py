@@ -99,7 +99,11 @@ class JaxBackend(Backend):
         bits = _QUANT_BITS.get(qcfg.weights)
         if bits is not None:
             params = quantize_param_tree(
-                raw, bits=bits, group_size=qcfg.group_size, predicate=self._arch.quant_predicate
+                raw,
+                bits=bits,
+                group_size=qcfg.group_size,
+                predicate=self._arch.quant_predicate,
+                act_bits=8 if qcfg.activations == "int8" else 0,
             )
         else:
             params = {k: jnp.asarray(v) for k, v in raw.items()}

@@ -51,6 +51,7 @@ def llama_param_pspecs(params: Dict) -> Dict[str, object]:
             specs[name] = QTensor(
                 q=spec, scale=spec, bits=val.bits,
                 group_size=val.group_size, orig_shape=val.orig_shape,
+                act_bits=val.act_bits,
             )
         else:
             specs[name] = spec
@@ -69,6 +70,7 @@ def shard_llama_params(params: Dict, mesh: Mesh) -> Dict:
                 bits=val.bits,
                 group_size=val.group_size,
                 orig_shape=val.orig_shape,
+                act_bits=val.act_bits,
             )
         else:
             out[name] = jax.device_put(val, NamedSharding(mesh, spec))

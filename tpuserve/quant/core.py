@@ -35,22 +35,28 @@ import numpy as np
 @jax.tree_util.register_pytree_node_class
 @dataclasses.dataclass
 class QTensor:
-    """A quantized 2-D weight [K, N] (contraction dim first)."""
+    """A quantized 2-D weight [K, N] (contraction dim first).
+
+    `act_bits` = 8 requests dynamic per-token INT8 activation quantization
+    at matmul time (W8A8 on the native int8 MXU); 0 = bf16 activations.
+    """
 
     q: jax.Array  # int8 [K, N] or uint8 [K//2, N] (packed int4)
     scale: jax.Array  # f32 [num_groups, N]
     bits: int
     group_size: int  # along K; 0 means one group (per-channel only)
     orig_shape: Tuple[int, int]
+    act_bits: int = 0
 
     def tree_flatten(self):
-        return (self.q, self.scale), (self.bits, self.group_size, self.orig_shape)
+        return (self.q, self.scale), (self.bits, self.group_size, self.orig_shape, self.act_bits)
 
     @classmethod
     def tree_unflatten(cls, aux, children):
         q, scale = children
-        bits, group_size, orig_shape = aux
-        return cls(q=q, scale=scale, bits=bits, group_size=group_size, orig_shape=orig_shape)
+        bits, group_size, orig_shape, act_bits = aux
+        return cls(q=q, scale=scale, bits=bits, group_size=group_size,
+                   orig_shape=orig_shape, act_bits=act_bits)
 
     @property
     def nbytes(self) -> int:
@@ -116,13 +122,43 @@ def dequantize(qt: QTensor, dtype=jnp.float32) -> jax.Array:
     return deq.reshape(k, n).astype(dtype)
 
 
+def quantize_activation(x: jax.Array) -> Tuple[jax.Array, jax.Array]:
+    """Dynamic per-token symmetric INT8: x [.., K] -> (int8 values,
+    f32 scales [.., 1])."""
+    absmax = jnp.max(jnp.abs(x.astype(jnp.float32)), axis=-1, keepdims=True)
+    scale = jnp.maximum(absmax / 127.0, 1e-8)
+    q = jnp.clip(jnp.round(x.astype(jnp.float32) / scale), -127, 127).astype(jnp.int8)
+    return q, scale
+
+
+def _w8a8_matmul(x: jax.Array, qt: QTensor) -> jax.Array:
+    """Dynamic-INT8 activations x INT8 weights on the native int8 MXU
+    (int32 accumulation), scales applied on the f32 output. Requires
+    per-channel weight scales (group_size 0) so the scale factorizes as
+    sx[token] * sw[col]."""
+    if qt.bits != 8 or qt.group_size != 0:
+        raise ValueError(
+            "int8 activations require int8 weights with per-channel scales (group_size=0)"
+        )
+    xq, sx = quantize_activation(x)
+    acc = jax.lax.dot_general(
+        xq, qt.q, (((x.ndim - 1,), (0,)), ((), ())), preferred_element_type=jnp.int32
+    )  # [.., N] int32
+    out = acc.astype(jnp.float32) * sx * qt.scale[0][None, :].astype(jnp.float32)
+    return out.astype(x.dtype)
+
+
 def qmatmul(x: jax.Array, qt: QTensor, *, use_pallas: Optional[bool] = None) -> jax.Array:
     """x [.., K] @ dequant(qt) [K, N] -> [.., N].
 
-    On TPU this dispatches to the fused dequant+matmul Pallas kernel
-    (tpuserve/ops/quant_matmul.py); elsewhere (CPU tests) it dequantizes
-    through XLA, which fuses the scale multiply into the matmul epilogue.
+    act_bits == 8 takes the W8A8 path (dynamic per-token activation
+    quantization, int8 MXU). Otherwise weight-only: on TPU the fused
+    dequant+matmul Pallas kernel (tpuserve/ops/quant_matmul.py); elsewhere
+    (CPU tests) dequantize through XLA, which fuses the scale multiply
+    into the matmul epilogue.
     """
+    if qt.act_bits == 8:
+        return _w8a8_matmul(x, qt)
     if use_pallas is None:
         import os
 
@@ -144,12 +180,18 @@ def quantize_param_tree(
     bits: int,
     group_size: int = 128,
     predicate=None,
+    act_bits: int = 0,
 ) -> Dict[str, object]:
     """Quantize every eligible 2-D weight in a flat param dict.
 
     `predicate(name, array) -> bool` selects weights; default: 2-D arrays
     whose name ends with 'kernel' or contains a projection-style name, and
-    whose dims are quantization-friendly."""
+    whose dims are quantization-friendly. `act_bits=8` marks every QTensor
+    for dynamic INT8 activation quantization (forces per-channel scales)."""
+    if act_bits == 8:
+        if bits != 8:
+            raise ValueError("int8 activations require int8 weights")
+        group_size = 0  # scale must factorize per column
 
     def default_pred(name: str, arr) -> bool:
         if arr.ndim != 2:
@@ -167,7 +209,10 @@ def quantize_param_tree(
     for name, arr in params.items():
         if pred(name, arr):
             gs = group_size if (group_size > 0 and arr.shape[0] % group_size == 0 and arr.shape[0] > group_size) else 0
-            out[name] = quantize(arr, bits=bits, group_size=gs)
+            qt = quantize(arr, bits=bits, group_size=gs)
+            if act_bits:
+                qt = dataclasses.replace(qt, act_bits=act_bits)
+            out[name] = qt
         else:
             out[name] = jnp.asarray(arr)
     return out

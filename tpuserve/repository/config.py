@@ -84,7 +84,7 @@ class QuantizationConfig:
     weights: str = "none"  # none | int8 | int4
     group_size: int = 128  # contraction-dim group for scales; 0 = per-channel
     kv_cache: str = "none"  # none | int8
-    activations: str = "none"  # none | fp8
+    activations: str = "none"  # none | int8 (dynamic per-token) | fp8
 
     @classmethod
     def from_dict(cls, d: Optional[Dict[str, Any]]) -> "QuantizationConfig":
@@ -99,7 +99,7 @@ class QuantizationConfig:
             raise InvalidArgumentError(f"unsupported weight quantization '{cfg.weights}'")
         if cfg.kv_cache not in ("none", "int8"):
             raise InvalidArgumentError(f"unsupported kv_cache quantization '{cfg.kv_cache}'")
-        if cfg.activations not in ("none", "fp8"):
+        if cfg.activations not in ("none", "int8", "fp8"):
             raise InvalidArgumentError(f"unsupported activation quantization '{cfg.activations}'")
         return cfg
 

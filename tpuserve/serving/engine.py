@@ -125,7 +125,10 @@ class GenerationEngine:
             def pred(name, arr):
                 return arr.ndim == 2 and name.endswith("kernel")
 
-            params = quantize_param_tree(raw, bits=bits, group_size=qcfg.group_size, predicate=pred)
+            params = quantize_param_tree(
+                raw, bits=bits, group_size=qcfg.group_size, predicate=pred,
+                act_bits=8 if qcfg.activations == "int8" else 0,
+            )
         else:
             params = raw
         self.params = jax.device_put(params)
