@@ -35,6 +35,9 @@ HBM_GBPS = float(os.environ.get("TPUSERVE_BENCH_HBM_GBPS", "819"))
 
 MODELS = {
     "llama2_7b": LlamaParams.llama2_7b(),
+    "llama3_8b": LlamaParams(vocab_size=128256, dim=4096, n_layers=32, n_heads=32,
+                              n_kv_heads=8, head_dim=128, ffn_dim=14336,
+                              rope_theta=500000.0),
     "llama_1b": LlamaParams(vocab_size=32000, dim=2048, n_layers=16, n_heads=16,
                              n_kv_heads=16, head_dim=128, ffn_dim=5504),
     "tiny": LlamaParams.tiny(),

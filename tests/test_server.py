@@ -308,3 +308,33 @@ def test_orbax_checkpoint_loading(api, repo_dir):
         np.testing.assert_allclose(np.array(out), expected.reshape(-1), rtol=1e-5)
 
     api(body)
+
+
+def test_metrics_includes_serving_stats(api, repo_dir):
+    """LLM models expose scheduler telemetry (slots, queue, pages) in /metrics."""
+    async def body(c):
+        import json as _json
+        import os
+
+        vdir = os.path.join(repo_dir, "m_llm", "1")
+        os.makedirs(vdir)
+        with open(os.path.join(vdir, "config.json"), "w") as f:
+            _json.dump({
+                "name": "m_llm", "platform": "llm", "architecture": "llama",
+                "model_params": {"vocab_size": 128, "dim": 32, "n_layers": 1,
+                                  "n_heads": 2, "n_kv_heads": 2, "head_dim": 16,
+                                  "ffn_dim": 64, "init": "random"},
+                "generation": {"max_seq_len": 64, "max_slots": 2, "paged": True,
+                                "page_size": 16, "eos_token_id": 2,
+                                "max_new_tokens": 4},
+            }, f)
+        await c.post("/models/m_llm/load")
+        await c.post("/models/m_llm/generate", json={"input_ids": [5, 9]})
+        r = await c.get("/metrics")
+        serving = (await r.json())["models"]["m_llm:1"]["serving"]
+        assert serving["max_slots"] == 2
+        assert serving["tokens_generated"] >= 1
+        assert serving["paged"] is True
+        assert serving["kv_free_pages"] >= 0
+
+    api(body)

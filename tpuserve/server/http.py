@@ -453,7 +453,11 @@ async def handle_metrics(request):
     mems = await _in_thread(device_mod.all_memory_infos)
     models = {}
     for m in manager.loaded_models():
-        models[f"{m.config.name}:{m.config.version}"] = m.get_stats()
+        stats = m.get_stats()
+        engine = getattr(m.backend, "_engine", None)
+        if engine is not None:  # LLM: scheduler telemetry
+            stats["serving"] = engine.serving_stats()
+        models[f"{m.config.name}:{m.config.version}"] = stats
     return web.json_response(
         {
             "platform": device_mod.platform_name(),

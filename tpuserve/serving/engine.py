@@ -221,6 +221,22 @@ class GenerationEngine:
             total += self.cache.nbytes
         return total
 
+    def serving_stats(self) -> Dict:
+        """Scheduler-level telemetry for /metrics."""
+        stats = {
+            "active_slots": sum(1 for s in self._slots if s is not None),
+            "max_slots": self.n_slots,
+            "queue_depth": self._pending.qsize(),
+            "decode_steps": self.steps,
+            "tokens_generated": self.tokens_out,
+            "tokens_prefilled": self.tokens_in,
+            "paged": self.ptm is not None,
+        }
+        if self.ptm is not None:
+            stats["kv_free_pages"] = self.ptm.free_pages
+            stats["kv_page_size"] = self.ptm.page_size
+        return stats
+
     # ------------------------------------------------------------------ API
     def submit(self, prompt_ids: List[int], max_new_tokens: Optional[int] = None,
                temperature: float = 0.0, top_k: int = 0, top_p: float = 1.0,
