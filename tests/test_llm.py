@@ -283,3 +283,19 @@ class TestEngineRobustness:
 
         with pytest.raises(BackendError):
             eng.generate([1, 2, 3])
+
+
+class TestWindowedDecode:
+    def test_window_matches_full(self, params):
+        """Static KV window == full-length decode for in-window positions."""
+        cache = KVCache.create(P, n_slots=2, max_len=64, quantized=False, dtype=jnp.float32)
+        tokens16 = np.zeros((1, 16), np.int32)
+        tokens16[0, :5] = [5, 17, 100, 42, 7]
+        _, cache = llama.prefill(params, P, jnp.asarray(tokens16), cache,
+                                 jnp.int32(0), jnp.int32(5))
+        t = jnp.asarray(np.array([11, 0], np.int32))
+        pos = jnp.asarray(np.array([5, -1], np.int32))
+        full, _ = llama.decode_step(params, P, t, cache, pos)
+        windowed, _ = llama.decode_step(params, P, t, cache, pos, window=16)
+        np.testing.assert_allclose(np.asarray(windowed)[0], np.asarray(full)[0],
+                                   rtol=1e-5, atol=1e-5)

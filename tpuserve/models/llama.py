@@ -372,11 +372,15 @@ def _gqa_decode_attention(q, k_all, v_all, k_scale, v_scale, read_mask,
 
 
 def decode_step(params, p: LlamaParams, tokens: jax.Array, cache: KVCache,
-                positions: jax.Array):
+                positions: jax.Array, window: Optional[int] = None):
     """One continuous-batching decode step over all S slots.
 
     tokens: int32 [S] (current token per slot); positions: int32 [S] (index
     where this token goes; negative = inactive slot).
+    `window` (static) limits attention reads to the first `window` cache
+    positions — decode is KV-read bound, so when every active position is
+    below a bucket boundary, reading only that prefix saves proportional
+    HBM traffic. Callers guarantee max(positions)+1 <= window.
     Returns (logits [S, V], updated cache).
     """
     s = tokens.shape[0]
@@ -386,8 +390,9 @@ def decode_step(params, p: LlamaParams, tokens: jax.Array, cache: KVCache,
     cos, sin = rope_cos_sin(pos, p.head_dim, p.rope_theta)  # [S, hd/2]
     cos_q, sin_q = cos[:, None, :], sin[:, None, :]  # [S, 1, hd/2]
     l_max = cache.max_len
-    ar = jnp.arange(l_max, dtype=jnp.int32)
-    read_mask = ar[None, :] <= pos[:, None]  # [S, L] attend to <= current pos
+    win = l_max if window is None else min(int(window), l_max)
+    ar = jnp.arange(win, dtype=jnp.int32)
+    read_mask = ar[None, :] <= pos[:, None]  # [S, win] attend to <= current pos
 
     new_cache = cache
     slot_idx = jnp.arange(s, dtype=jnp.int32)
@@ -420,10 +425,10 @@ def decode_step(params, p: LlamaParams, tokens: jax.Array, cache: KVCache,
                     k_scale=new_cache.k_scale.at[layer, slot_idx, pos].set(masked(ks, new_cache.k_scale)),
                     v_scale=new_cache.v_scale.at[layer, slot_idx, pos].set(masked(vs, new_cache.v_scale)),
                 )
-                k_all = new_cache.k[layer]  # [S, L, Hkv, hd] int8
-                v_all = new_cache.v[layer]
-                k_scale = new_cache.k_scale[layer]  # [S, L, Hkv]
-                v_scale = new_cache.v_scale[layer]
+                k_all = new_cache.k[layer, :, :win]  # [S, win, Hkv, hd] int8
+                v_all = new_cache.v[layer, :, :win]
+                k_scale = new_cache.k_scale[layer, :, :win]  # [S, win, Hkv]
+                v_scale = new_cache.v_scale[layer, :, :win]
             else:
                 new_cache = KVCache(
                     k=new_cache.k.at[layer, slot_idx, pos].set(masked(k.astype(new_cache.k.dtype), new_cache.k)),
@@ -431,8 +436,8 @@ def decode_step(params, p: LlamaParams, tokens: jax.Array, cache: KVCache,
                     k_scale=None,
                     v_scale=None,
                 )
-                k_all = new_cache.k[layer]
-                v_all = new_cache.v[layer]
+                k_all = new_cache.k[layer, :, :win]
+                v_all = new_cache.v[layer, :, :win]
                 k_scale = v_scale = None
 
             if _use_pallas_attention():
@@ -551,13 +556,16 @@ def prefill_paged(params, p: LlamaParams, tokens: jax.Array, cache,
 
 
 def decode_step_paged(params, p: LlamaParams, tokens: jax.Array, cache,
-                      page_table: jax.Array, positions: jax.Array):
+                      page_table: jax.Array, positions: jax.Array,
+                      window: Optional[int] = None):
     """One decode step over a PagedKVCache.
 
     page_table [S, P]; positions [S] (-1 = inactive). The engine guarantees
     every active slot's chain covers positions[s]+1 tokens. The logical
     [S, P*page_size, Hkv, hd] view is gathered per layer (capacity-for-
-    bandwidth tradeoff documented in paged_kv.py)."""
+    bandwidth tradeoff documented in paged_kv.py). `window` (static,
+    multiple of page_size) limits gathers/reads to the leading pages —
+    see decode_step."""
     from tpuserve.serving.paged_kv import PagedKVCache
 
     s = tokens.shape[0]
@@ -567,6 +575,9 @@ def decode_step_paged(params, p: LlamaParams, tokens: jax.Array, cache,
     x = params["embed/weight"][tokens]
     cos, sin = rope_cos_sin(pos, p.head_dim, p.rope_theta)
     cos_q, sin_q = cos[:, None, :], sin[:, None, :]
+    if window is not None:
+        n_cols = max(1, min(int(window) // ps, page_table.shape[1]))
+        page_table = page_table[:, :n_cols]
     l_virt = page_table.shape[1] * ps
     ar = jnp.arange(l_virt, dtype=jnp.int32)
     read_mask = ar[None, :] <= pos[:, None]

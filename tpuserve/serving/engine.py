@@ -159,9 +159,9 @@ class GenerationEngine:
             def prefill_fn(params, tokens, cache, table, slot, length):
                 return llama.prefill_paged(params, p, tokens, cache, table, slot, length)
 
-            def decode_fn(params, tokens, cache, table, positions, sampling, key):
+            def decode_fn(params, tokens, cache, table, positions, sampling, key, window):
                 logits, cache = llama.decode_step_paged(
-                    params, p, tokens, cache, table, positions
+                    params, p, tokens, cache, table, positions, window=window
                 )
                 return sample(logits, sampling, key), cache
         else:
@@ -169,15 +169,18 @@ class GenerationEngine:
             def prefill_fn(params, tokens, cache, slot, length):
                 return llama.prefill(params, p, tokens, cache, slot, length)
 
-            def decode_fn(params, tokens, cache, positions, sampling, key):
+            def decode_fn(params, tokens, cache, positions, sampling, key, window):
                 """Decode + sample in ONE dispatch: host round-trips cost
                 ~4 ms each on remote-device setups, so the loop fetches only
-                the sampled token ids."""
-                logits, cache = llama.decode_step(params, p, tokens, cache, positions)
+                the sampled token ids. `window` (static) bounds KV reads to
+                the live context bucket."""
+                logits, cache = llama.decode_step(
+                    params, p, tokens, cache, positions, window=window
+                )
                 return sample(logits, sampling, key), cache
 
         self._prefill_jit = jax.jit(prefill_fn, donate_argnums=(2,))
-        self._decode_jit = jax.jit(decode_fn, donate_argnums=(2,))
+        self._decode_jit = jax.jit(decode_fn, donate_argnums=(2,), static_argnames=("window",))
         self._sample_jit = jax.jit(sample)
 
         self._running = True
@@ -417,6 +420,14 @@ class GenerationEngine:
                         active.remove(i)
                 if not active:
                     continue
+            # static KV window: smallest bucket covering every live position
+            # (decode is KV-read bound; short contexts read proportionally
+            # less HBM; one compile per bucket)
+            max_pos = max(positions[i] for i in active)
+            window = 64
+            while window <= max_pos:
+                window *= 2
+            window = min(window, self.max_seq_len)
             try:
                 self._key, sub = jax.random.split(self._key)
                 if self.ptm is not None:
@@ -428,6 +439,7 @@ class GenerationEngine:
                         jnp.asarray(positions),
                         self._sampling,
                         sub,
+                        window=window,
                     )
                 else:
                     next_dev, self.cache = self._decode_jit(
@@ -437,6 +449,7 @@ class GenerationEngine:
                         jnp.asarray(positions),
                         self._sampling,
                         sub,
+                        window=window,
                     )
                 next_tokens = np.asarray(next_dev)
             except Exception as e:
