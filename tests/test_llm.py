@@ -299,3 +299,21 @@ class TestWindowedDecode:
         windowed, _ = llama.decode_step(params, P, t, cache, pos, window=16)
         np.testing.assert_allclose(np.asarray(windowed)[0], np.asarray(full)[0],
                                    rtol=1e-5, atol=1e-5)
+
+    def test_bucketed_engine_same_output(self, params, tmp_path):
+        """decode_buckets on/off produce identical greedy generations."""
+        outs = {}
+        for buckets in (0, 2):
+            name = f"tiny_buckets_{buckets}"
+            vdir = _write_llm_repo(tmp_path, name=name)
+            cfgd = json.load(open(os.path.join(vdir, "config.json")))
+            cfgd["generation"]["decode_buckets"] = buckets
+            json.dump(cfgd, open(os.path.join(vdir, "config.json"), "w"))
+            cfg = ModelConfig.from_file(os.path.join(vdir, "config.json"))
+            eng = GenerationEngine(vdir, cfg)
+            eng.start()
+            try:
+                outs[buckets] = eng.generate([5, 17, 100], max_new_tokens=6)["output_ids"]
+            finally:
+                eng.stop()
+        assert outs[0] == outs[2]

@@ -117,6 +117,10 @@ class GenerationConfig:
     paged: bool = False  # paged KV cache (pages allocated on demand)
     page_size: int = 128  # tokens per KV page
     num_pages: int = 0  # page-pool size; 0 = capacity parity with contiguous
+    # KV read-window bucketing: short-context batches read only the live
+    # bucket (saves HBM traffic) at the cost of one decode compile per
+    # bucket. 0 = off (single full-window compile, no mid-serving stalls).
+    decode_buckets: int = 0
     eos_token_id: int = 2
     temperature: float = 0.0
     top_k: int = 0

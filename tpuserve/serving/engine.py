@@ -422,12 +422,17 @@ class GenerationEngine:
                     continue
             # static KV window: smallest bucket covering every live position
             # (decode is KV-read bound; short contexts read proportionally
-            # less HBM; one compile per bucket)
-            max_pos = max(positions[i] for i in active)
-            window = 64
-            while window <= max_pos:
-                window *= 2
-            window = min(window, self.max_seq_len)
+            # less HBM). Costs one decode compile per bucket, so it is
+            # config-gated (generation.decode_buckets levels; 0 = off).
+            window = self.max_seq_len
+            n_buckets = int(self.config.generation.decode_buckets)
+            if n_buckets > 0:
+                max_pos = max(positions[i] for i in active)
+                smallest = max(64, self.max_seq_len >> n_buckets)
+                window = smallest
+                while window <= max_pos:
+                    window *= 2
+                window = min(window, self.max_seq_len)
             try:
                 self._key, sub = jax.random.split(self._key)
                 if self.ptm is not None:
