@@ -1,0 +1,132 @@
+#!/usr/bin/env python3
+"""Quantization accuracy harness — BASELINE.md gates as a CLI.
+
+Compares a model's quantized serving outputs against its FP32 reference on
+either synthetic inputs or a provided dataset, reporting the gate metrics:
+
+- classifier architectures (resnet*/densenet*/bert/mlp): top-1 agreement and
+  logit correlation (gate: <=0.5% top-1 disagreement for INT8 CNNs)
+- llama: token-level perplexity delta between FP32 and quantized params
+  (gate: <=0.1 perplexity for INT4 vs FP16)
+
+Usage:
+  python scripts/eval_accuracy.py --repository models --model resnet_demo \
+      [--samples 64] [--seed 0] [--json]
+
+The model's config.json declares the quantization; the harness loads the
+checkpoint twice (raw FP32 and quantized per config) and runs both through
+the architecture's apply function on the same inputs.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+
+import numpy as np
+
+
+def evaluate(repository: str, model: str, version: str, samples: int, seed: int) -> dict:
+    import jax
+    import jax.numpy as jnp
+
+    from tpuserve.engine.jax_backend import load_checkpoint
+    from tpuserve.models.registry import get_architecture
+    from tpuserve.quant.core import quantize_param_tree
+    from tpuserve.repository import ModelRepository
+
+    repo = ModelRepository(repository)
+    cfg = repo.get_config(model, version or None)
+    model_dir = repo.get_model_path(model, version or None)
+    arch = get_architecture(cfg)
+    raw = load_checkpoint(model_dir)
+    params_fp = {k: jnp.asarray(v, jnp.float32) for k, v in raw.items()}
+
+    qcfg = cfg.quantization
+    bits = {"int8": 8, "int4": 4}.get(qcfg.weights)
+    if bits is None:
+        raise SystemExit(f"model '{model}' has no weight quantization configured")
+    params_q = quantize_param_tree(
+        params_fp, bits=bits, group_size=qcfg.group_size,
+        predicate=arch.quant_predicate,
+        act_bits=8 if qcfg.activations == "int8" else 0,
+    )
+
+    rng = np.random.default_rng(seed)
+    result = {"model": model, "quantization": qcfg.to_dict(), "samples": samples}
+
+    if (cfg.architecture or "").startswith("llama"):
+        from tpuserve.models.llama import LlamaParams
+
+        p = LlamaParams.from_dict(cfg.model_params)
+        tokens = rng.integers(0, p.vocab_size, (max(1, samples // 16), 64)).astype(np.int32)
+
+        def ppl(params):
+            out = arch.apply(params, {"input_ids": jnp.asarray(tokens)})
+            logits = np.asarray(out["logits"], np.float64)[:, :-1, :]
+            targets = tokens[:, 1:]
+            m = logits.max(-1, keepdims=True)
+            logp = logits - m - np.log(np.exp(logits - m).sum(-1, keepdims=True))
+            nll = -np.take_along_axis(logp, targets[..., None], axis=-1).mean()
+            return float(np.exp(nll))
+
+        base, quant = ppl(params_fp), ppl(params_q)
+        result.update(
+            metric="perplexity",
+            fp32=round(base, 4),
+            quantized=round(quant, 4),
+            delta=round(quant - base, 4),
+            gate="<=0.1 ppl (BASELINE.md LLM gate)",
+            gate_pass=bool(abs(quant - base) <= 0.1),
+        )
+        return result
+
+    # classifier path: synthetic inputs with the declared shape
+    inp = cfg.inputs[0]
+    shape = [samples if d == -1 else int(d) for d in inp.shape]
+    if shape[0] == 1:
+        shape[0] = samples
+    np_dt = inp.data_type.np_dtype or np.float32
+    if np.issubdtype(np_dt, np.integer):
+        x = rng.integers(0, int(cfg.model_params.get("vocab_size", 100)), shape).astype(np_dt)
+    else:
+        x = rng.normal(size=shape).astype(np_dt)
+
+    out_name = cfg.outputs[0].name if cfg.outputs else "logits"
+    ref = np.asarray(arch.apply(params_fp, {inp.name: jnp.asarray(x)})[out_name], np.float32)
+    got = np.asarray(arch.apply(params_q, {inp.name: jnp.asarray(x)})[out_name], np.float32)
+    ref2, got2 = ref.reshape(samples, -1), got.reshape(samples, -1)
+    agree = float(np.mean(np.argmax(ref2, -1) == np.argmax(got2, -1)))
+    corr = float(np.corrcoef(ref2.reshape(-1), got2.reshape(-1))[0, 1])
+    result.update(
+        metric="top1_agreement",
+        top1_agreement=round(agree, 4),
+        logit_correlation=round(corr, 6),
+        gate=">=0.995 top-1 agreement (BASELINE.md <=0.5% CNN gate)",
+        gate_pass=bool(agree >= 0.995),
+    )
+    return result
+
+
+def main():
+    ap = argparse.ArgumentParser(description=__doc__)
+    ap.add_argument("--repository", default="models")
+    ap.add_argument("--model", required=True)
+    ap.add_argument("--version", default="")
+    ap.add_argument("--samples", type=int, default=64)
+    ap.add_argument("--seed", type=int, default=0)
+    ap.add_argument("--json", action="store_true", help="print one JSON line only")
+    args = ap.parse_args()
+
+    result = evaluate(args.repository, args.model, args.version, args.samples, args.seed)
+    if args.json:
+        print(json.dumps(result))
+    else:
+        for k, v in result.items():
+            print(f"{k}: {v}")
+    sys.exit(0 if result.get("gate_pass") else 1)
+
+
+if __name__ == "__main__":
+    main()

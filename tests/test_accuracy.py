@@ -84,3 +84,79 @@ def test_int8_kv_cache_logits_close():
     cc = np.corrcoef(ref, q)[0, 1]
     assert cc > 0.999, cc
     assert np.argmax(ref) == np.argmax(q)
+
+
+class TestEvalHarness:
+    """scripts/eval_accuracy.py — the BASELINE gates as a CLI."""
+
+    def _make_repo(self, tmp_path, quant):
+        import json as _json
+
+        from safetensors.numpy import save_file
+
+        rng = np.random.default_rng(0)
+        vdir = tmp_path / "clf" / "1"
+        vdir.mkdir(parents=True)
+        save_file(
+            {"dense1/kernel": rng.normal(size=(64, 128)).astype(np.float32),
+             "dense1/bias": np.zeros(128, np.float32),
+             "dense2/kernel": rng.normal(size=(128, 16)).astype(np.float32),
+             "dense2/bias": np.zeros(16, np.float32)},
+            str(vdir / "model.safetensors"),
+        )
+        (vdir / "config.json").write_text(_json.dumps({
+            "name": "clf", "platform": "jax", "architecture": "mlp",
+            "inputs": [{"name": "input", "shape": [-1, 64], "data_type": "FLOAT32"}],
+            "outputs": [{"name": "output", "shape": [-1, 16], "data_type": "FLOAT32"}],
+            "model_params": {"features": [128, 16]},
+            "quantization": quant,
+        }))
+        return str(tmp_path)
+
+    def test_classifier_gate_passes_int8(self, tmp_path):
+        import sys, os
+
+        sys.path.insert(0, os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "scripts"))
+        import eval_accuracy
+
+        repo = self._make_repo(tmp_path, {"weights": "int8", "group_size": 0})
+        result = eval_accuracy.evaluate(repo, "clf", "", samples=32, seed=0)
+        assert result["metric"] == "top1_agreement"
+        assert result["gate_pass"], result
+
+    def test_unquantized_model_rejected(self, tmp_path):
+        import sys, os
+
+        sys.path.insert(0, os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "scripts"))
+        import eval_accuracy
+
+        repo = self._make_repo(tmp_path, {"weights": "none"})
+        with pytest.raises(SystemExit):
+            eval_accuracy.evaluate(repo, "clf", "", samples=8, seed=0)
+
+    def test_llama_perplexity_gate(self, tmp_path):
+        import json as _json
+        import sys, os
+
+        from safetensors.numpy import save_file
+
+        sys.path.insert(0, os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "scripts"))
+        import eval_accuracy
+
+        arch = _arch()
+        params = arch.init(jax.random.PRNGKey(1))
+        vdir = tmp_path / "ll" / "1"
+        vdir.mkdir(parents=True)
+        save_file({k: np.asarray(v, np.float32) for k, v in params.items()},
+                  str(vdir / "model.safetensors"))
+        (vdir / "config.json").write_text(_json.dumps({
+            "name": "ll", "platform": "llm", "architecture": "llama",
+            "model_params": {"vocab_size": P.vocab_size, "dim": P.dim,
+                              "n_layers": P.n_layers, "n_heads": P.n_heads,
+                              "n_kv_heads": P.n_kv_heads, "head_dim": P.head_dim,
+                              "ffn_dim": P.ffn_dim},
+            "quantization": {"weights": "int8", "group_size": 32},
+        }))
+        result = eval_accuracy.evaluate(str(tmp_path), "ll", "", samples=32, seed=0)
+        assert result["metric"] == "perplexity"
+        assert "delta" in result
