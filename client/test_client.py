@@ -13,6 +13,7 @@ Usage: python client/test_client.py --url http://localhost:8080 [--model test_mo
 from __future__ import annotations
 
 import argparse
+import json
 import sys
 
 import numpy as np
@@ -128,6 +129,30 @@ class Client:
         r = requests.get(f"{self.base}/metrics", timeout=30)
         self.check(r.status_code == 200 and "memory" in r.json(), "metrics endpoint")
 
+    def test_generate(self, model: str, status_body: dict):
+        """LLM models: /generate (unary + streaming) — skipped for
+        non-generative models."""
+        if status_body.get("config", {}).get("platform") != "llm":
+            return
+        print(f"== generate: {model} ==")
+        payload = {"input_ids": [5, 17, 100], "max_new_tokens": 8}
+        r = requests.post(f"{self.base}/models/{model}/generate", json=payload, timeout=300)
+        self.check(r.status_code == 200, f"generate -> {r.status_code}: {r.text[:200]}")
+        if r.status_code != 200:
+            return
+        body = r.json()
+        self.check(body["output_ids"][:3] == [5, 17, 100], "prompt echoed")
+        self.check(1 <= body["num_generated"] <= 8, f"generated {body['num_generated']}")
+        # streaming yields the same tokens (greedy determinism)
+        r = requests.post(
+            f"{self.base}/models/{model}/generate",
+            json={**payload, "stream": True}, timeout=300, stream=True,
+        )
+        chunks = [json.loads(line) for line in r.iter_lines() if line]
+        streamed = [c["token"] for c in chunks if "token" in c]
+        self.check(chunks and chunks[-1].get("done"), "stream ends with done record")
+        self.check(streamed == body["generated_ids"], "stream matches unary tokens")
+
     def test_unload(self, model: str):
         print(f"== unload: {model} ==")
         r = requests.post(f"{self.base}/models/{model}/unload", timeout=60)
@@ -152,6 +177,7 @@ def main():
     model = args.model if args.model in models or not models else models[0]
     status = c.test_model_lifecycle(model)
     c.test_inference(model, status)
+    c.test_generate(model, status)
     c.test_error_paths(model)
     c.test_stats_and_metrics(model)
     c.test_unload(model)

@@ -338,3 +338,24 @@ def test_metrics_includes_serving_stats(api, repo_dir):
         assert serving["kv_free_pages"] >= 0
 
     api(body)
+
+
+def test_list_form_inputs(api):
+    """Explicit list input form: [{"name","shape","data_type","data"}]."""
+    async def body(c):
+        await c.post("/models/test_model/load")
+        r = await c.post("/models/test_model/infer", json={
+            "inputs": [{"name": "input", "shape": [1, 3], "data_type": "FP32",
+                         "data": [1.0, 1.0, 1.0]}]
+        })
+        assert r.status == 200
+        out = (await r.json())["outputs"][0]
+        from tpuserve.fixtures import make_test_model_weights, reference_mlp_forward
+
+        expected = reference_mlp_forward(make_test_model_weights(), np.ones((1, 3), np.float32))
+        np.testing.assert_allclose(np.array(out["data"]), expected.reshape(-1), rtol=1e-5)
+        # malformed list entries rejected
+        r = await c.post("/models/test_model/infer", json={"inputs": [{"name": "input"}]})
+        assert r.status == 400
+
+    api(body)
