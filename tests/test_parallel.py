@@ -73,3 +73,64 @@ class TestGraftEntry:
         import __graft_entry__ as ge
 
         ge.dryrun_multichip(8)
+
+
+class TestShardedEngine:
+    def test_engine_with_tp_dp_sharding(self, tmp_path):
+        """config.sharding drives real TP/DP placement in the LLM engine;
+        sharded generation matches the single-device engine exactly."""
+        import json
+        import os
+
+        from tpuserve.repository.config import ModelConfig
+        from tpuserve.serving.engine import GenerationEngine
+
+        base = {
+            "platform": "llm", "architecture": "llama",
+            "model_params": {"vocab_size": 128, "dim": 32, "n_layers": 2,
+                              "n_heads": 8, "n_kv_heads": 4, "head_dim": 8,
+                              "ffn_dim": 64, "init": "random"},
+            "generation": {"max_seq_len": 64, "max_slots": 4, "eos_token_id": 2,
+                            "max_new_tokens": 6},
+            "quantization": {"weights": "int8", "group_size": 16, "kv_cache": "int8"},
+        }
+        outs = {}
+        for name, sharding in (("solo", {}), ("tp4dp2", {"tensor_parallel": 4, "data_parallel": 2})):
+            vdir = os.path.join(str(tmp_path), name, "1")
+            os.makedirs(vdir)
+            cfg = dict(base, name=name, sharding=sharding)
+            with open(os.path.join(vdir, "config.json"), "w") as f:
+                json.dump(cfg, f)
+            eng = GenerationEngine(vdir, ModelConfig.from_file(os.path.join(vdir, "config.json")))
+            eng.start()
+            try:
+                if sharding:
+                    assert eng.mesh is not None
+                    assert eng.mesh.devices.shape == (2, 4)
+                outs[name] = eng.generate([5, 17, 100], max_new_tokens=5)["output_ids"]
+            finally:
+                eng.stop()
+        assert outs["solo"] == outs["tp4dp2"]
+
+    def test_sharded_paged_rejected(self, tmp_path):
+        import json
+        import os
+
+        from tpuserve.repository.config import ModelConfig
+        from tpuserve.serving.engine import GenerationEngine
+        from tpuserve.utils.errors import BackendError
+
+        vdir = os.path.join(str(tmp_path), "bad", "1")
+        os.makedirs(vdir)
+        with open(os.path.join(vdir, "config.json"), "w") as f:
+            json.dump({
+                "name": "bad", "platform": "llm", "architecture": "llama",
+                "model_params": {"vocab_size": 64, "dim": 32, "n_layers": 1,
+                                  "n_heads": 4, "n_kv_heads": 4, "head_dim": 8,
+                                  "ffn_dim": 64, "init": "random"},
+                "generation": {"max_seq_len": 64, "max_slots": 4, "paged": True},
+                "sharding": {"tensor_parallel": 4},
+            }, f)
+        eng = GenerationEngine(vdir, ModelConfig.from_file(os.path.join(vdir, "config.json")))
+        with pytest.raises(BackendError):
+            eng.start()

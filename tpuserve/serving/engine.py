@@ -83,6 +83,7 @@ class GenerationEngine:
         self.params = None
         self.cache = None  # KVCache or PagedKVCache
         self.ptm = None  # PageTableManager (paged mode only)
+        self.mesh = None  # jax Mesh when config.sharding > 1x1
         self._prefill_jit = None
         self._decode_jit = None
         self._sample_jit = None
@@ -131,7 +132,22 @@ class GenerationEngine:
             )
         else:
             params = raw
-        self.params = jax.device_put(params)
+        # multi-chip placement per config.sharding (TP x DP NamedShardings;
+        # XLA inserts the collectives). 1x1 = plain single-device put.
+        shard = self.config.sharding
+        self.mesh = None
+        if shard.tensor_parallel * shard.data_parallel > 1:
+            from tpuserve.parallel.mesh import make_mesh
+            from tpuserve.parallel.sharding import shard_llama_params
+
+            self.mesh = make_mesh(tp=shard.tensor_parallel, dp=shard.data_parallel)
+            if self.n_slots % shard.data_parallel != 0:
+                raise BackendError(
+                    f"max_slots {self.n_slots} must divide by data_parallel {shard.data_parallel}"
+                )
+            self.params = shard_llama_params(params, self.mesh)
+        else:
+            self.params = jax.device_put(params)
         self._param_bytes = sum(
             x.nbytes if isinstance(x, QTensor) else x.size * x.dtype.itemsize
             for x in jax.tree_util.tree_leaves(
@@ -152,7 +168,13 @@ class GenerationEngine:
             self.cache = KVCache.create(
                 p, self.n_slots, self.max_seq_len, quantized=quant_kv
             )
+            if self.mesh is not None:
+                from tpuserve.parallel.sharding import shard_cache
+
+                self.cache = shard_cache(self.cache, self.mesh)
             self.ptm = None
+        if self.mesh is not None and gen.paged:
+            raise BackendError("paged KV cache is single-chip for now; disable sharding or paged")
 
         if gen.paged:
 
