@@ -391,22 +391,21 @@ class GenerationEngine:
     def _loop_inner(self) -> None:
         while self._running:
             # admit pending requests into free slots
-            admitted = False
             while True:
                 slot = self._free_slot()
                 if slot is None:
                     break
                 try:
-                    # block only when the whole batch is idle
-                    timeout = None if not any(self._slots) and self._pending.empty() else 0
-                    req = self._pending.get(block=(timeout is None), timeout=None)
+                    # block only when the whole batch is idle; otherwise the
+                    # decode step below must not wait on new arrivals
+                    idle = not any(self._slots) and self._pending.empty()
+                    req = self._pending.get(block=idle)
                 except queue.Empty:
                     break
                 if req is None:  # shutdown signal
                     return
                 try:
                     self._admit(req, slot)
-                    admitted = True
                 except Exception as e:
                     req.error = str(e)
                     req.token_queue.put(None)
