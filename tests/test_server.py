@@ -359,3 +359,69 @@ def test_list_form_inputs(api):
         assert r.status == 400
 
     api(body)
+
+
+def test_text_generation_with_tokenizer(api, repo_dir):
+    """/generate accepts 'text' when the model ships tokenizer.json."""
+    async def body(c):
+        import json as _json
+        import os
+
+        from tokenizers import Tokenizer, models
+        from tokenizers.pre_tokenizers import Whitespace
+
+        vdir = os.path.join(repo_dir, "txt_llm", "1")
+        os.makedirs(vdir)
+        vocab = {"<unk>": 0, "hello": 1, "world": 2}
+        vocab.update({f"tok{i}": i for i in range(3, 120)})
+        tok = Tokenizer(models.WordLevel(vocab, unk_token="<unk>"))
+        tok.pre_tokenizer = Whitespace()
+        tok.save(os.path.join(vdir, "tokenizer.json"))
+        with open(os.path.join(vdir, "config.json"), "w") as f:
+            _json.dump({
+                "name": "txt_llm", "platform": "llm", "architecture": "llama",
+                "model_params": {"vocab_size": 128, "dim": 32, "n_layers": 1,
+                                  "n_heads": 2, "n_kv_heads": 2, "head_dim": 16,
+                                  "ffn_dim": 64, "init": "random"},
+                "generation": {"max_seq_len": 64, "max_slots": 2,
+                                "eos_token_id": 0, "max_new_tokens": 5},
+            }, f)
+        await c.post("/models/txt_llm/load")
+        r = await c.post("/models/txt_llm/generate",
+                          json={"text": "hello world", "max_new_tokens": 4})
+        assert r.status == 200, await r.text()
+        data = await r.json()
+        assert data["output_ids"][:2] == [1, 2]  # "hello world" tokenized
+        assert "text" in data and isinstance(data["text"], str)
+        # ids-equivalence: same prompt as ids gives the same continuation
+        r2 = await c.post("/models/txt_llm/generate",
+                           json={"input_ids": [1, 2], "max_new_tokens": 4})
+        assert (await r2.json())["generated_ids"] == data["generated_ids"]
+        # text without tokenizer -> clear 400
+        await c.post("/models/test_model/load")
+        r = await c.post("/models/txt_llm/unload")
+
+    api(body)
+
+
+def test_text_generation_without_tokenizer_rejected(api, repo_dir):
+    async def body(c):
+        import json as _json
+        import os
+
+        vdir = os.path.join(repo_dir, "plain_llm", "1")
+        os.makedirs(vdir)
+        with open(os.path.join(vdir, "config.json"), "w") as f:
+            _json.dump({
+                "name": "plain_llm", "platform": "llm", "architecture": "llama",
+                "model_params": {"vocab_size": 64, "dim": 32, "n_layers": 1,
+                                  "n_heads": 2, "n_kv_heads": 2, "head_dim": 16,
+                                  "ffn_dim": 64, "init": "random"},
+                "generation": {"max_seq_len": 32, "max_slots": 2},
+            }, f)
+        await c.post("/models/plain_llm/load")
+        r = await c.post("/models/plain_llm/generate", json={"text": "hi"})
+        assert r.status == 400
+        assert "tokenizer" in (await r.json())["error"]
+
+    api(body)

@@ -401,13 +401,29 @@ async def handle_generate(request):
     backend = model.backend
     if not hasattr(backend, "generate"):
         return _json_error(400, f"model '{name}' is not a generative model")
-    ids = body.get("input_ids")
-    if not isinstance(ids, list) or not ids:
-        return _json_error(400, "'input_ids' must be a non-empty list of token ids")
     kw = {}
     for k in ("max_new_tokens", "temperature", "top_k", "top_p", "seed"):
         if k in body:
             kw[k] = body[k]
+
+    text = body.get("text")
+    if text is not None:
+        # text-in/text-out (requires a model-local tokenizer.json)
+        try:
+            t0 = time.perf_counter_ns()
+            result = await _in_thread(backend.engine.generate_text, str(text), **kw)
+            model.stats.record_inference(time.perf_counter_ns() - t0)
+            model.stats.record_tokens(generated=result["num_generated"],
+                                       prefilled=len(result["output_ids"]) - result["num_generated"])
+        except TpuServeError as e:
+            return _json_error(_error_status(e), str(e))
+        except Exception as e:
+            return _json_error(500, f"Generation failed: {e}")
+        return web.json_response({"model_name": name, **result})
+
+    ids = body.get("input_ids")
+    if not isinstance(ids, list) or not ids:
+        return _json_error(400, "'input_ids' must be a non-empty list of token ids (or send 'text')")
 
     if body.get("stream") or request.query.get("stream"):
         # newline-delimited JSON chunks: {"token": t} ... {"done": true, ...}
