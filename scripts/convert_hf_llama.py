@@ -88,6 +88,12 @@ def convert(hf_dir: str, output_dir: str, name: str, version: str,
     os.makedirs(vdir, exist_ok=True)
     save_file(out, os.path.join(vdir, "model.safetensors"))
 
+    tok_src = os.path.join(hf_dir, "tokenizer.json")
+    if os.path.exists(tok_src):  # enables text-in/text-out on /generate
+        import shutil
+
+        shutil.copy(tok_src, os.path.join(vdir, "tokenizer.json"))
+
     cfg = {
         "name": name,
         "version": version,
