@@ -200,3 +200,43 @@ class TestUnsupportedBackends:
                 m.load_model("onnx_model")
         finally:
             m.shutdown()
+
+
+class TestStateMachineGuards:
+    def test_busy_states_rejected(self, manager):
+        """LOADING/UNLOADING guard transitions (≙ inference_manager.cpp:291-316)."""
+        from tpuserve.utils.errors import TpuServeError
+
+        key = manager._begin_load("test_model", None)
+        assert manager.get_model_state("test_model") == ModelState.LOADING
+        with pytest.raises(TpuServeError):
+            manager._begin_load("test_model", None)  # busy loading
+        with pytest.raises(TpuServeError):
+            manager._begin_unload("test_model", None)  # can't unload while loading
+        manager._do_load(key)
+        assert manager.get_model_state("test_model") == ModelState.LOADED
+
+        key = manager._begin_unload("test_model", None)
+        assert manager.get_model_state("test_model") == ModelState.UNLOADING
+        with pytest.raises(TpuServeError):
+            manager._begin_load("test_model", None)  # busy unloading
+        manager._do_unload(key)
+        assert manager.get_model_state("test_model") == ModelState.UNLOADED
+
+    def test_all_stub_backends_rejected_clearly(self, tmp_path):
+        """TF/TensorRT markers load-fail with 501-class errors (≙ the
+        reference's stub backends, model.cpp:1104-1149)."""
+        import os
+
+        for name, marker in (("tf_model", "saved_model.pb"), ("trt_model", "model.plan")):
+            d = os.path.join(str(tmp_path), name, "1")
+            os.makedirs(d)
+            open(os.path.join(d, marker), "wb").close()
+        m = InferenceManager(str(tmp_path))
+        try:
+            for name in ("tf_model", "trt_model"):
+                with pytest.raises(UnsupportedError):
+                    m.load_model(name)
+                assert m.get_model_state(name) == ModelState.ERROR
+        finally:
+            m.shutdown()
