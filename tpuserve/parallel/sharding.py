@@ -42,6 +42,16 @@ def _spec_for(name: str) -> P:
     return P()  # norms, embed, biases: replicated
 
 
+def _scale_spec(spec: P, scale) -> P:
+    """Scales [G, N] track the weight's spec, except per-channel scales
+    (G == 1, forced by act_bits or group_size=0) whose size-1 dim 0 cannot
+    be partitioned over tp — replicate dim 0; per-column values are
+    mathematically identical on every row shard."""
+    if len(spec) >= 1 and spec[0] is not None and scale.shape[0] == 1:
+        return P(None, *spec[1:])
+    return spec
+
+
 def llama_param_pspecs(params: Dict) -> Dict[str, object]:
     """name -> PartitionSpec (or QTensor of specs, matching its pytree)."""
     specs: Dict[str, object] = {}
@@ -49,7 +59,7 @@ def llama_param_pspecs(params: Dict) -> Dict[str, object]:
         spec = _spec_for(name)
         if isinstance(val, QTensor):
             specs[name] = QTensor(
-                q=spec, scale=spec, bits=val.bits,
+                q=spec, scale=_scale_spec(spec, val.scale), bits=val.bits,
                 group_size=val.group_size, orig_shape=val.orig_shape,
                 act_bits=val.act_bits,
             )
@@ -66,7 +76,7 @@ def shard_llama_params(params: Dict, mesh: Mesh) -> Dict:
         if isinstance(val, QTensor):
             out[name] = QTensor(
                 q=jax.device_put(val.q, NamedSharding(mesh, spec)),
-                scale=jax.device_put(val.scale, NamedSharding(mesh, spec)),
+                scale=jax.device_put(val.scale, NamedSharding(mesh, _scale_spec(spec, val.scale))),
                 bits=val.bits,
                 group_size=val.group_size,
                 orig_shape=val.orig_shape,

@@ -80,9 +80,9 @@ def _version_sort_key(v: str):
     (reference: descending numeric with string fallback,
     model_repository.cpp:45-53)."""
     try:
-        return (0, int(v), "")
+        return (1, int(v), "")
     except ValueError:
-        return (1, 0, v)
+        return (0, 0, v)
 
 
 class ModelRepository:

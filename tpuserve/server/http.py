@@ -32,6 +32,7 @@ from __future__ import annotations
 import asyncio
 import functools
 import json
+import queue as _queue
 import time
 from typing import Dict, List, Optional
 
@@ -434,17 +435,35 @@ async def handle_generate(request):
         resp = web.StreamResponse(headers={"Content-Type": "application/x-ndjson"})
         await resp.prepare(request)
         n = 0
-        while True:
-            tok = await _in_thread(req.token_queue.get)
-            if tok is None:
-                model.stats.record_tokens(generated=n, prefilled=len(ids))
-                await resp.write(
-                    json.dumps({"done": True, "finish_reason": req.finish_reason,
-                                 "num_generated": n}).encode() + b"\n"
-                )
-                break
-            n += 1
-            await resp.write(json.dumps({"token": int(tok)}).encode() + b"\n")
+        try:
+            done = False
+            while not done:
+                # one executor hop per *burst*: block for the first token,
+                # then drain whatever else the engine already queued
+                toks = [await _in_thread(req.token_queue.get)]
+                while True:
+                    try:
+                        toks.append(req.token_queue.get_nowait())
+                    except _queue.Empty:
+                        break
+                buf = bytearray()
+                for tok in toks:
+                    if tok is None:
+                        done = True
+                        model.stats.record_tokens(generated=n, prefilled=len(ids))
+                        final = {"done": True, "finish_reason": req.finish_reason,
+                                 "num_generated": n}
+                        if req.error:
+                            final["error"] = req.error
+                        buf += json.dumps(final).encode() + b"\n"
+                        break
+                    n += 1
+                    buf += json.dumps({"token": int(tok)}).encode() + b"\n"
+                await resp.write(bytes(buf))
+        except (asyncio.CancelledError, ConnectionResetError, ConnectionError):
+            # client went away mid-stream: free the slot promptly
+            req.aborted = True
+            raise
         await resp.write_eof()
         return resp
 

@@ -59,6 +59,9 @@ class Request:
     error: Optional[str] = None
     token_queue: "queue.Queue[Optional[int]]" = dataclasses.field(default_factory=queue.Queue)
     finish_reason: str = ""
+    # set by the transport when the client goes away; the scheduler retires
+    # the slot at the next step instead of generating to max_new_tokens
+    aborted: bool = False
 
 
 @dataclasses.dataclass
@@ -398,7 +401,9 @@ class GenerationEngine:
 
     def _retire_if_done(self, st: _SlotState) -> bool:
         req = st.request
-        if st.last_token == self.eos_token_id:
+        if req.aborted:
+            req.finish_reason = "aborted"
+        elif st.last_token == self.eos_token_id:
             req.finish_reason = "eos"
         elif st.generated >= req.max_new_tokens:
             req.finish_reason = "max_new_tokens"
@@ -441,6 +446,13 @@ class GenerationEngine:
                     req.done.set()
                 if self._pending.empty():
                     break
+
+            # retire client-aborted slots before spending a step on them
+            for i, st in enumerate(self._slots):
+                if st is not None and st.request.aborted and self._retire_if_done(st):
+                    self._slots[i] = None
+                    if self.ptm is not None:
+                        self.ptm.release(i)
 
             active = [i for i, s in enumerate(self._slots) if s is not None]
             if not active:
