@@ -199,19 +199,21 @@ class TestConcurrency:
 
 
 class TestUnsupportedBackends:
-    def test_onnx_rejected_clearly(self, tmp_path):
-        import os
+    def test_malformed_onnx_errors_cleanly(self, tmp_path):
+        """ONNX is a REAL backend now (tpuserve/engine/onnx_backend.py);
+        a malformed blob must land the model in ERROR and permit reload
+        attempts (≙ inference_manager.cpp:308-311)."""
+        from tpuserve.utils.errors import TpuServeError
 
         vdir = tmp_path / "onnx_model" / "1"
         vdir.mkdir(parents=True)
-        (vdir / "model.onnx").write_bytes(b"")
+        (vdir / "model.onnx").write_bytes(b"")  # empty: no GraphProto
         m = InferenceManager(str(tmp_path))
         try:
-            with pytest.raises(UnsupportedError):
+            with pytest.raises((TpuServeError, ValueError)):
                 m.load_model("onnx_model")
             assert m.get_model_state("onnx_model") == ModelState.ERROR
-            # ERROR state permits reload attempts (≙ inference_manager.cpp:308-311)
-            with pytest.raises(UnsupportedError):
+            with pytest.raises((TpuServeError, ValueError)):
                 m.load_model("onnx_model")
         finally:
             m.shutdown()

@@ -103,4 +103,5 @@ def _ensure_builtins() -> None:
     _LOADED = True
     from tpuserve.engine import jax_backend  # noqa: F401
     from tpuserve.engine import llm_backend  # noqa: F401
+    from tpuserve.engine import onnx_backend  # noqa: F401
     from tpuserve.engine import torch_backend  # noqa: F401

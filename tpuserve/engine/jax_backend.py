@@ -104,6 +104,7 @@ class JaxBackend(Backend):
                 group_size=qcfg.group_size,
                 predicate=self._arch.quant_predicate,
                 act_bits=8 if qcfg.activations == "int8" else 0,
+                act_fp8=qcfg.activations == "fp8",
             )
         else:
             params = {k: jnp.asarray(v) for k, v in raw.items()}
