@@ -59,6 +59,19 @@ class Model:
             raise
         self.stats.set_load_time(time.perf_counter_ns() - t0)
         self.stats.set_memory_usage(self.backend.memory_usage_bytes())
+        # dynamic micro-batching + instance cap for graph models (makes the
+        # reference's dead config flags real — engine/batcher.py)
+        from tpuserve.engine.batcher import MicroBatcher
+
+        batchable = [t.name for t in self.config.inputs if t.shape and t.shape[0] == -1]
+        self._batcher = MicroBatcher(
+            self.backend.infer,
+            batch_axis_inputs=batchable,
+            max_batch=self.config.max_batch_size,
+            instance_count=self.config.instance_count,
+            enabled=bool(self.config.dynamic_batching)
+            and self.model_type in (ModelType.JAX, ModelType.ONNX),
+        )
         self._loaded = True
 
     def unload(self) -> None:
@@ -109,7 +122,7 @@ class Model:
             raise
         t0 = time.perf_counter_ns()
         try:
-            outputs = self.backend.infer(inputs)
+            outputs = self._batcher.infer(inputs)
         except ValidationError:
             self.stats.record_error()
             raise
@@ -135,4 +148,8 @@ class Model:
     def get_stats(self) -> Dict:
         snap = self.stats.snapshot()
         snap["tokens_per_second"] = round(self.stats.tokens_per_second(), 2)
+        b = getattr(self, "_batcher", None)
+        if b is not None and b.batches:
+            snap["dynamic_batches"] = b.batches
+            snap["dynamic_batched_requests"] = b.batched_requests
         return snap
