@@ -113,8 +113,8 @@ class TestQuantizedModelServing:
             "name": "test_model_int8",
             "platform": "jax",
             "architecture": "mlp",
-            "inputs": [{"name": "input", "shape": [1, 64], "data_type": "FLOAT32"}],
-            "outputs": [{"name": "output", "shape": [1, 16], "data_type": "FLOAT32"}],
+            "inputs": [{"name": "input", "shape": [1, 64], "data_type": "FP32"}],
+            "outputs": [{"name": "output", "shape": [1, 16], "data_type": "FP32"}],
             "model_params": {"features": [128, 16]},
             "quantization": {"weights": "int8", "group_size": 64},
         }
@@ -129,6 +129,82 @@ class TestQuantizedModelServing:
             ref = h @ w["dense2/kernel"] + w["dense2/bias"]
             rel = np.abs(out - ref) / (np.abs(ref) + 1e-2)
             assert np.median(rel) < 0.05
+        finally:
+            m.shutdown()
+
+
+class TestFp8Activations:
+    """FP8 e4m3 activation rounding (BASELINE.md north star). v5e has no
+    fp8 MXU so it is a precision contract (bf16 compute), and unlike
+    act_bits=8 it composes with grouped INT4 weights."""
+
+    def test_fp8_round_resolution(self, rng):
+        from tpuserve.quant.core import fp8_round
+
+        x = rng.normal(size=(4, 256)).astype(np.float32) * 3
+        r = np.asarray(fp8_round(jnp.asarray(x))).astype(np.float32)
+        rel = np.abs(r - x) / (np.abs(x) + 1e-3)
+        assert np.median(rel) < 0.04  # e4m3: ~3 mantissa bits -> ~3% step
+        assert np.median(rel) > 1e-4  # and it genuinely rounded
+
+    def test_fp8_with_grouped_int4_weights(self, rng, w):
+        """The combination the r1 verdict flagged as impossible with int8
+        activations: fp8 acts x grouped-int4 weights."""
+        import dataclasses as dc
+
+        x = rng.normal(size=(4, 256)).astype(np.float32)
+        qt = dc.replace(quantize(w, bits=4, group_size=64), act_fp8=True)
+        out = np.asarray(qmatmul(jnp.asarray(x), qt))
+        # isolate the fp8 contribution: reference through the SAME int4
+        # weights, fp32 activations — fp8 rounding must add only an e4m3-
+        # sized delta on top of the (much larger) int4 weight error
+        ref = x @ np.asarray(dequantize(qt)).astype(np.float32)
+        rel = np.abs(out - ref) / (np.abs(ref) + 1e-2)
+        assert np.median(rel) < 0.05
+
+    def test_param_tree_act_fp8_keeps_groups(self, rng):
+        params = {"d/kernel": rng.normal(size=(64, 32)).astype(np.float32)}
+        qp = quantize_param_tree(params, bits=4, group_size=32, act_fp8=True)
+        assert qp["d/kernel"].act_fp8
+        assert qp["d/kernel"].group_size == 32  # grouped scales preserved
+
+    def test_serving_with_fp8_activations(self, tmp_path, rng):
+        import json
+
+        from safetensors.numpy import save_file
+
+        from tpuserve.engine import InferenceManager
+        from tpuserve.utils.tensor import Tensor
+
+        vdir = tmp_path / "mlp_fp8" / "1"
+        vdir.mkdir(parents=True)
+        w1 = rng.normal(size=(64, 128)).astype(np.float32)
+        w2 = rng.normal(size=(128, 16)).astype(np.float32)
+        save_file({"dense1/kernel": w1, "dense1/bias": np.zeros(128, np.float32),
+                   "dense2/kernel": w2, "dense2/bias": np.zeros(16, np.float32)},
+                  str(vdir / "model.safetensors"))
+        (vdir / "config.json").write_text(json.dumps({
+            "name": "mlp_fp8", "platform": "jax", "architecture": "mlp",
+            "inputs": [{"name": "input", "shape": [1, 64], "data_type": "FP32"}],
+            "outputs": [{"name": "output", "shape": [1, 16], "data_type": "FP32"}],
+            "model_params": {"features": [128, 16]},
+            "quantization": {"weights": "int4", "group_size": 32, "activations": "fp8"},
+        }))
+        m = InferenceManager(str(tmp_path))
+        try:
+            m.load_model("mlp_fp8")
+            x = rng.normal(size=(1, 64)).astype(np.float32)
+            out = m.run_inference("mlp_fp8", [Tensor.from_numpy("input", x)])[0].numpy()
+            # reference replicates the served math (int4 weights + e4m3
+            # activation rounding); the residual is only bf16 compute noise
+            from tpuserve.quant.core import fp8_round
+
+            d1 = np.asarray(dequantize(quantize(w1, bits=4, group_size=32)))
+            d2 = np.asarray(dequantize(quantize(w2, bits=4, group_size=32)))
+            h = np.maximum(np.asarray(fp8_round(jnp.asarray(x))).astype(np.float32) @ d1, 0)
+            ref = np.asarray(fp8_round(jnp.asarray(h))).astype(np.float32) @ d2
+            rel = np.abs(out - ref) / (np.abs(ref) + 1e-1)
+            assert np.median(rel) < 0.03
         finally:
             m.shutdown()
 
@@ -185,8 +261,8 @@ class TestInt8Activations:
                   str(vdir / "model.safetensors"))
         (vdir / "config.json").write_text(json.dumps({
             "name": "bert_a8", "platform": "jax", "architecture": "mlp",
-            "inputs": [{"name": "input", "shape": [1, 64], "data_type": "FLOAT32"}],
-            "outputs": [{"name": "output", "shape": [1, 16], "data_type": "FLOAT32"}],
+            "inputs": [{"name": "input", "shape": [1, 64], "data_type": "FP32"}],
+            "outputs": [{"name": "output", "shape": [1, 16], "data_type": "FP32"}],
             "model_params": {"features": [128, 16]},
             "quantization": {"weights": "int8", "activations": "int8"},
         }))

@@ -73,6 +73,56 @@ def create_test_model(output_dir: str, name: str = "test_model", version: str = 
     return vdir
 
 
+def create_onnx_test_model(output_dir: str, name: str = "test_model_onnx",
+                           version: str = "1") -> str:
+    """Write the SAME seed-42 MLP as a raw model.onnx (MatMul/Add/Relu graph
+    like the reference generator, create-test-model.py:34-99) + config.json —
+    exercised by the native ONNX importer. Returns the version dir."""
+    from tpuserve.onnx import Graph, Node, ValueInfo, load_model, save_model
+    from tpuserve.onnx.proto import DT_FLOAT
+
+    vdir = os.path.join(output_dir, name, version)
+    os.makedirs(vdir, exist_ok=True)
+    w = make_test_model_weights()
+    graph = Graph(
+        name=name,
+        nodes=[
+            Node("MatMul", ["input", "weight1"], ["matmul1"], "matmul1"),
+            Node("Add", ["matmul1", "bias1"], ["hidden"], "add1"),
+            Node("Relu", ["hidden"], ["relu"], "relu"),
+            Node("MatMul", ["relu", "weight2"], ["matmul2"], "matmul2"),
+            Node("Add", ["matmul2", "bias2"], ["output"], "add2"),
+        ],
+        initializers={
+            "weight1": w["dense1/kernel"], "bias1": w["dense1/bias"],
+            "weight2": w["dense2/kernel"], "bias2": w["dense2/bias"],
+        },
+        inputs=[ValueInfo("input", DT_FLOAT, [1, 3])],
+        outputs=[ValueInfo("output", DT_FLOAT, [1, 2])],
+    )
+    path = os.path.join(vdir, "model.onnx")
+    save_model(path, graph)
+    config = {
+        "name": name,
+        "version": version,
+        "platform": "onnx",
+        "inputs": [{"name": "input", "shape": [1, 3], "data_type": "FLOAT32"}],
+        "outputs": [{"name": "output", "shape": [1, 2], "data_type": "FLOAT32"}],
+    }
+    with open(os.path.join(vdir, "config.json"), "w") as f:
+        json.dump(config, f, indent=2)
+    # self-verify: round-trip through our own parser against ground truth
+    g2 = load_model(path)
+    x = np.ones((1, 3), np.float32)
+    from tpuserve.onnx import build
+
+    params, apply, _, _ = build(g2)
+    y = np.asarray(apply(params, {"input": x})["output"])
+    expect = reference_mlp_forward(w, x)
+    assert np.allclose(y, expect, atol=1e-5), "onnx fixture self-verify failed"
+    return vdir
+
+
 def create_image_model_repo_entry(
     output_dir: str, name: str = "densenet_tpu", version: str = "1", num_classes: int = 1000
 ) -> str:

@@ -47,16 +47,24 @@ class QTensor:
     group_size: int  # along K; 0 means one group (per-channel only)
     orig_shape: Tuple[int, int]
     act_bits: int = 0
+    # FP8 (e4m3) activation rounding at matmul time. v5e has no fp8 MXU, so
+    # this is a precision contract, not a speed path: activations round
+    # through float8_e4m3fn and the matmul runs in bf16 — composable with
+    # INT4 grouped weights (unlike act_bits=8, which demands per-channel
+    # scales). BASELINE.md north star names fp8 activations explicitly.
+    act_fp8: bool = False
 
     def tree_flatten(self):
-        return (self.q, self.scale), (self.bits, self.group_size, self.orig_shape, self.act_bits)
+        return (self.q, self.scale), (
+            self.bits, self.group_size, self.orig_shape, self.act_bits, self.act_fp8
+        )
 
     @classmethod
     def tree_unflatten(cls, aux, children):
         q, scale = children
-        bits, group_size, orig_shape, act_bits = aux
+        bits, group_size, orig_shape, act_bits, act_fp8 = aux
         return cls(q=q, scale=scale, bits=bits, group_size=group_size,
-                   orig_shape=orig_shape, act_bits=act_bits)
+                   orig_shape=orig_shape, act_bits=act_bits, act_fp8=act_fp8)
 
     @property
     def nbytes(self) -> int:
@@ -148,17 +156,30 @@ def _w8a8_matmul(x: jax.Array, qt: QTensor) -> jax.Array:
     return out.astype(x.dtype)
 
 
+def fp8_round(x: jax.Array) -> jax.Array:
+    """Round activations through float8 e4m3 (dynamic per-token scale into
+    the e4m3 range, round, rescale). Precision emulation on v5e (no fp8
+    MXU) — the returned array is bf16 carrying fp8-resolution values."""
+    absmax = jnp.max(jnp.abs(x.astype(jnp.float32)), axis=-1, keepdims=True)
+    scale = jnp.maximum(absmax, 1e-8) / 448.0  # e4m3 max normal
+    x8 = (x.astype(jnp.float32) / scale).astype(jnp.float8_e4m3fn)
+    return (x8.astype(jnp.float32) * scale).astype(jnp.bfloat16)
+
+
 def qmatmul(x: jax.Array, qt: QTensor, *, use_pallas: Optional[bool] = None) -> jax.Array:
     """x [.., K] @ dequant(qt) [K, N] -> [.., N].
 
     act_bits == 8 takes the W8A8 path (dynamic per-token activation
-    quantization, int8 MXU). Otherwise weight-only: on TPU the fused
-    dequant+matmul Pallas kernel (tpuserve/ops/quant_matmul.py); elsewhere
-    (CPU tests) dequantize through XLA, which fuses the scale multiply
-    into the matmul epilogue.
+    quantization, int8 MXU); act_fp8 rounds activations through e4m3
+    first (precision contract; bf16 compute). Otherwise weight-only: on
+    TPU the fused dequant+matmul Pallas kernel (tpuserve/ops/
+    quant_matmul.py); elsewhere (CPU tests) dequantize through XLA, which
+    fuses the scale multiply into the matmul epilogue.
     """
     if qt.act_bits == 8:
         return _w8a8_matmul(x, qt)
+    if qt.act_fp8:
+        x = fp8_round(x)
     if use_pallas is None:
         import os
 
@@ -181,16 +202,21 @@ def quantize_param_tree(
     group_size: int = 128,
     predicate=None,
     act_bits: int = 0,
+    act_fp8: bool = False,
 ) -> Dict[str, object]:
     """Quantize every eligible 2-D weight in a flat param dict.
 
     `predicate(name, array) -> bool` selects weights; default: 2-D arrays
     whose name ends with 'kernel' or contains a projection-style name, and
     whose dims are quantization-friendly. `act_bits=8` marks every QTensor
-    for dynamic INT8 activation quantization (forces per-channel scales)."""
+    for dynamic INT8 activation quantization (forces per-channel scales);
+    `act_fp8` marks e4m3 activation rounding (composes with any weight
+    format, including grouped INT4)."""
     if act_bits == 8:
         if bits != 8:
             raise ValueError("int8 activations require int8 weights")
+        if act_fp8:
+            raise ValueError("choose one of int8 or fp8 activations")
         group_size = 0  # scale must factorize per column
 
     def default_pred(name: str, arr) -> bool:
@@ -210,8 +236,8 @@ def quantize_param_tree(
         if pred(name, arr):
             gs = group_size if (group_size > 0 and arr.shape[0] % group_size == 0 and arr.shape[0] > group_size) else 0
             qt = quantize(arr, bits=bits, group_size=gs)
-            if act_bits:
-                qt = dataclasses.replace(qt, act_bits=act_bits)
+            if act_bits or act_fp8:
+                qt = dataclasses.replace(qt, act_bits=act_bits, act_fp8=act_fp8)
             out[name] = qt
         else:
             out[name] = jnp.asarray(arr)
