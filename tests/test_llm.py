@@ -130,7 +130,8 @@ class TestSampling:
         np.testing.assert_array_equal(out, [2, 2])  # top_k=1 == greedy
 
 
-def _write_llm_repo(tmp_path, quant="none", kv="none", max_slots=4, name="tiny_llm"):
+def _write_llm_repo(tmp_path, quant="none", kv="none", max_slots=4, name="tiny_llm",
+                    **gen_extra):
     vdir = os.path.join(str(tmp_path), name, "1")
     os.makedirs(vdir, exist_ok=True)
     cfg = {
@@ -145,7 +146,7 @@ def _write_llm_repo(tmp_path, quant="none", kv="none", max_slots=4, name="tiny_l
             "ffn_dim": P.ffn_dim, "init": "random",
         },
         "generation": {"max_seq_len": 128, "max_slots": max_slots, "eos_token_id": 2,
-                        "max_new_tokens": 8},
+                        "max_new_tokens": 8, **gen_extra},
         "quantization": {"weights": quant, "group_size": 32, "kv_cache": kv},
     }
     with open(os.path.join(vdir, "config.json"), "w") as f:
@@ -255,6 +256,72 @@ class TestGenerationEngine:
             assert len(got) > 3
         finally:
             m.shutdown()
+
+
+class TestChunkedPrefill:
+    def test_prefill_chunk_matches_whole_prefill(self, params):
+        """Chunked prefill (3 chunks of 8) must reproduce the single-shot
+        prefill logits AND identical cache contents for the live prefix."""
+        prompt = list(np.random.RandomState(0).randint(3, 200, size=20))
+        cache_a = KVCache.create(P, n_slots=2, max_len=64, quantized=False,
+                                 dtype=jnp.float32)
+        tokens = np.zeros((1, 32), np.int32)
+        tokens[0, : len(prompt)] = prompt
+        logits_a, cache_a = llama.prefill(
+            params, P, jnp.asarray(tokens), cache_a, jnp.int32(1), jnp.int32(len(prompt))
+        )
+
+        cache_b = KVCache.create(P, n_slots=2, max_len=64, quantized=False,
+                                 dtype=jnp.float32)
+        cs = 8
+        logits_b = None
+        for c0 in range(0, len(prompt), cs):
+            n = min(cs, len(prompt) - c0)
+            chunk = np.zeros((1, cs), np.int32)
+            chunk[0, :n] = prompt[c0 : c0 + n]
+            logits_b, cache_b = llama.prefill_chunk(
+                params, P, jnp.asarray(chunk), cache_b, jnp.int32(1),
+                jnp.int32(c0), jnp.int32(n), window=32,
+            )
+        np.testing.assert_allclose(np.asarray(logits_b), np.asarray(logits_a),
+                                   rtol=1e-4, atol=1e-4)
+        l = len(prompt)
+        np.testing.assert_allclose(np.asarray(cache_b.k[:, 1, :l]),
+                                   np.asarray(cache_a.k[:, 1, :l]), rtol=1e-5, atol=1e-5)
+        np.testing.assert_allclose(np.asarray(cache_b.v[:, 1, :l]),
+                                   np.asarray(cache_a.v[:, 1, :l]), rtol=1e-5, atol=1e-5)
+
+    def test_engine_chunked_matches_unchunked(self, tmp_path):
+        """Engine output with prefill_chunk=16 must be token-identical to
+        the unchunked engine on a 40-token greedy prompt."""
+        prompt = list(np.random.RandomState(1).randint(3, 200, size=40))
+        vdir_a = _write_llm_repo(tmp_path, name="plain_llm")
+        cfg_a = ModelConfig.from_file(os.path.join(vdir_a, "config.json"))
+        eng_a = GenerationEngine(vdir_a, cfg_a)
+        eng_a.start()
+        try:
+            r_a = eng_a.generate(prompt, max_new_tokens=6)
+        finally:
+            eng_a.stop()
+
+        vdir_b = _write_llm_repo(tmp_path, name="chunked_llm", prefill_chunk=16)
+        cfg_b = ModelConfig.from_file(os.path.join(vdir_b, "config.json"))
+        eng_b = GenerationEngine(vdir_b, cfg_b)
+        assert eng_b._chunk_size == 16
+        eng_b.start()
+        try:
+            r_b = eng_b.generate(prompt, max_new_tokens=6)
+            # decode keeps running for other slots while a chunked admission
+            # is in flight: run a long + a short prompt concurrently
+            req_long = eng_b.submit(prompt, max_new_tokens=6)
+            r_short = eng_b.generate([5, 9, 3], max_new_tokens=4)
+            req_long.done.wait(timeout=60)
+            assert req_long.error is None
+            assert list(req_long.output_ids) == r_b["generated_ids"]
+            assert r_short["num_generated"] >= 1
+        finally:
+            eng_b.stop()
+        assert r_b["output_ids"] == r_a["output_ids"]
 
 
 class TestEngineRobustness:

@@ -121,6 +121,10 @@ class GenerationConfig:
     # bucket (saves HBM traffic) at the cost of one decode compile per
     # bucket. 0 = off (single full-window compile, no mid-serving stalls).
     decode_buckets: int = 0
+    # Chunked prefill: prompts longer than this admit in chunks of this
+    # many tokens, one chunk between decode steps, so a long admission
+    # cannot freeze the decode batch. 0 = off (whole-bucket prefill).
+    prefill_chunk: int = 0
     eos_token_id: int = 2
     temperature: float = 0.0
     top_k: int = 0

@@ -94,6 +94,10 @@ class GenerationEngine:
 
         self._pending: "queue.Queue[Optional[Request]]" = queue.Queue()
         self._slots: List[Optional[_SlotState]] = [None] * self.n_slots
+        # chunked-prefill admission in flight: {"req", "slot", "progress"}
+        self._chunk_size = int(getattr(gen, "prefill_chunk", 0))
+        self._chunking: Optional[Dict] = None
+        self._prefill_chunk_jit = None
         self._thread: Optional[threading.Thread] = None
         self._running = False
         self._req_ids = itertools.count(1)
@@ -161,6 +165,7 @@ class GenerationEngine:
             params = quantize_param_tree(
                 raw, bits=bits, group_size=qcfg.group_size, predicate=pred,
                 act_bits=8 if qcfg.activations == "int8" else 0,
+                act_fp8=qcfg.activations == "fp8",
             )
         else:
             params = raw
@@ -178,6 +183,12 @@ class GenerationEngine:
                     f"max_slots {self.n_slots} must divide by data_parallel {shard.data_parallel}"
                 )
             self.params = shard_llama_params(params, self.mesh)
+            # publish the mesh so llama._mm routes QTensor matmuls through
+            # the shard_map-wrapped kernel instead of an unpartitionable
+            # single-chip pallas_call
+            from tpuserve.parallel.sharding import set_active_mesh
+
+            set_active_mesh(self.mesh)
         else:
             self.params = jax.device_put(params)
         self._param_bytes = sum(
@@ -187,6 +198,13 @@ class GenerationEngine:
             )
         )
         gen = self.config.generation
+        if self._chunk_size > 0 and self.max_seq_len % self._chunk_size != 0:
+            # a trailing chunk may not straddle max_seq_len: the cache write
+            # would clamp and overwrite earlier positions
+            raise BackendError(
+                f"generation.prefill_chunk ({self._chunk_size}) must divide "
+                f"max_seq_len ({self.max_seq_len})"
+            )
         quant_kv = qcfg.kv_cache == "int8"
         if gen.paged:
             from tpuserve.serving.paged_kv import PagedKVCache, PageTableManager
@@ -233,6 +251,15 @@ class GenerationEngine:
                 )
                 return sample(logits, sampling, key), cache
 
+            def prefill_chunk_fn(params, tokens, cache, slot, start, length, window):
+                return llama.prefill_chunk(
+                    params, p, tokens, cache, slot, start, length, window=window
+                )
+
+            self._prefill_chunk_jit = jax.jit(
+                prefill_chunk_fn, donate_argnums=(2,), static_argnames=("window",)
+            )
+
         self._prefill_jit = jax.jit(prefill_fn, donate_argnums=(2,))
         self._decode_jit = jax.jit(decode_fn, donate_argnums=(2,), static_argnames=("window",))
         self._sample_jit = jax.jit(sample)
@@ -248,12 +275,22 @@ class GenerationEngine:
             self._thread.join(timeout=60)
             self._thread = None
         self._fail_outstanding("engine stopped")
+        if self.mesh is not None:
+            from tpuserve.parallel.sharding import set_active_mesh
+
+            set_active_mesh(None)
         self.params = None
         self.cache = None
 
     def _fail_outstanding(self, reason: str) -> None:
         """Complete every in-flight and queued request with an error so no
         caller blocks forever across a stop/crash."""
+        if self._chunking is not None:
+            req = self._chunking["req"]
+            req.error = reason
+            req.token_queue.put(None)
+            req.done.set()
+            self._chunking = None
         for i, st in enumerate(self._slots):
             if st is not None:
                 st.request.error = reason
@@ -352,8 +389,9 @@ class GenerationEngine:
         return min(b, self.max_seq_len)
 
     def _free_slot(self) -> Optional[int]:
+        busy = self._chunking["slot"] if self._chunking is not None else -1
         for i, s in enumerate(self._slots):
-            if s is None:
+            if s is None and i != busy:
                 return i
         return None
 
@@ -394,6 +432,54 @@ class GenerationEngine:
         else:
             self._slots[slot] = st
 
+    def _advance_chunk(self) -> None:
+        """One chunk of the in-flight long admission (contiguous mode)."""
+        ch = self._chunking
+        req, slot = ch["req"], ch["slot"]
+        if req.aborted:
+            req.finish_reason = "aborted"
+            req.token_queue.put(None)
+            req.done.set()
+            self._chunking = None
+            return
+        ids = req.prompt_ids
+        c0 = ch["progress"]
+        cs = self._chunk_size
+        n = min(cs, len(ids) - c0)
+        tokens = np.zeros((1, cs), np.int32)
+        tokens[0, :n] = ids[c0 : c0 + n]
+        window = self._bucket_len(min(c0 + cs, self.max_seq_len))
+        try:
+            logits, self.cache = self._prefill_chunk_jit(
+                self.params,
+                jnp.asarray(tokens),
+                self.cache,
+                jnp.int32(slot),
+                jnp.int32(c0),
+                jnp.int32(n),
+                window=window,
+            )
+        except Exception as e:
+            req.error = str(e)
+            req.token_queue.put(None)
+            req.done.set()
+            self._chunking = None
+            return
+        ch["progress"] = c0 + n
+        if ch["progress"] < len(ids):
+            return
+        # prompt fully prefilled: sample the first generated token
+        self._chunking = None
+        self._sampling = self._sampling.update_slot(slot, req.temperature, req.top_k, req.top_p)
+        self._key, sub = jax.random.split(self._key)
+        full_logits = jnp.zeros((self.n_slots, logits.shape[-1]), jnp.float32).at[slot].set(logits[0])
+        tok = int(np.asarray(self._sample_jit(full_logits, self._sampling, sub))[slot])
+        self.tokens_in += len(ids)
+        self._emit(req, tok)
+        st = _SlotState(request=req, next_pos=len(ids), generated=1, last_token=tok)
+        if not self._retire_if_done(st):
+            self._slots[slot] = st
+
     def _emit(self, req: Request, tok: int) -> None:
         req.output_ids.append(tok)
         req.token_queue.put(tok)
@@ -432,12 +518,23 @@ class GenerationEngine:
                 try:
                     # block only when the whole batch is idle; otherwise the
                     # decode step below must not wait on new arrivals
-                    idle = not any(self._slots) and self._pending.empty()
+                    idle = (not any(self._slots) and self._pending.empty()
+                            and self._chunking is None)
                     req = self._pending.get(block=idle)
                 except queue.Empty:
                     break
                 if req is None:  # shutdown signal
                     return
+                if (
+                    self._chunk_size > 0
+                    and self._chunking is None
+                    and self.ptm is None
+                    and len(req.prompt_ids) > self._chunk_size
+                ):
+                    # long prompt: admit in chunks interleaved with decode
+                    # steps instead of one batch-freezing prefill
+                    self._chunking = {"req": req, "slot": slot, "progress": 0}
+                    break
                 try:
                     self._admit(req, slot)
                 except Exception as e:
@@ -446,6 +543,11 @@ class GenerationEngine:
                     req.done.set()
                 if self._pending.empty():
                     break
+
+            # advance at most ONE prefill chunk between decode steps: the
+            # long admission makes progress, active slots keep their cadence
+            if self._chunking is not None:
+                self._advance_chunk()
 
             # retire client-aborted slots before spending a step on them
             for i, st in enumerate(self._slots):
