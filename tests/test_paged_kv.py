@@ -100,6 +100,43 @@ class TestPagedModelMath:
             assert tokP == tokC
             pos += 1
 
+    @pytest.mark.parametrize("flat", [False, True])
+    def test_paged_pallas_kernel_matches_xla(self, monkeypatch, flat):
+        """decode_step_paged's wide paged kernel (page table in the scalar-
+        prefetch index map) must match the XLA gather path."""
+        import tpuserve.models.llama as llama_mod
+        import tpuserve.ops.decode_attention as da_mod
+
+        params = llama.init_params(jax.random.PRNGKey(0), P, dtype=jnp.float32)
+        prompt = [5, 17, 100, 42, 7]
+        ps, n_pages = 16, 9
+        tokens = np.zeros((1, 16), np.int32)
+        tokens[0, : len(prompt)] = prompt
+
+        def run(mode):
+            cache = PagedKVCache.create(P, n_pages, ps, quantized=True, flat=flat)
+            ptm = PageTableManager(n_pages, ps, n_slots=2, max_len=64)
+            ptm.ensure(0, 16)
+            _, cache = llama.prefill_paged(
+                params, P, jnp.asarray(tokens), cache, ptm.device_table(),
+                jnp.int32(0), jnp.int32(len(prompt)))
+            if mode == "pallas":
+                monkeypatch.setattr(llama_mod, "_decode_attn_mode", lambda _p: mode)
+                orig = da_mod.decode_attention_wide_paged
+                monkeypatch.setattr(
+                    da_mod, "decode_attention_wide_paged",
+                    lambda *a, **kw: orig(*a, **{**kw, "interpret": True}))
+            t = jnp.asarray(np.array([11, 0], np.int32))
+            pv = jnp.asarray(np.array([len(prompt), -1], np.int32))
+            logits, _ = llama.decode_step_paged(
+                params, P, t, cache, ptm.device_table(), pv)
+            return np.asarray(logits)
+
+        logits_xla = run("xla")
+        logits_pl = run("pallas")
+        np.testing.assert_allclose(logits_pl[0], logits_xla[0], rtol=5e-2, atol=5e-2)
+        assert np.all(logits_pl[1] == 0.0)
+
 
 def _paged_repo(tmp_path, name="paged_llm", paged=True, num_pages=0, max_slots=3):
     vdir = os.path.join(str(tmp_path), name, "1")

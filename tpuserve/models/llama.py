@@ -143,22 +143,35 @@ def apply_rope(x: jax.Array, cos: jax.Array, sin: jax.Array) -> jax.Array:
 class KVCache:
     """Contiguous per-slot KV cache.
 
-    k/v: [n_layers, S, L, n_kv_heads, head_dim] (bf16, or int8 when
-    quantized); k_scale/v_scale: [n_layers, S, L, n_kv_heads] f32 (int8 only,
-    else None).
+    Two device layouts (``flat`` is static pytree aux data):
+
+    - flat=False: k/v [n_layers, S, L, n_kv_heads, head_dim] — natural for
+      the XLA einsum attention (head dim explicit).
+    - flat=True:  k/v [n_layers, S, L, W], W = n_kv_heads*head_dim — the
+      layout the wide Pallas decode kernel streams. TPU arrays are tiled
+      (8, 128) on the LAST TWO dims, so a [.., Hkv, hd] <-> [.., W] reshape
+      regroups across tile boundaries and XLA materializes it as a
+      full-cache copy per layer (measured: 137 GB of copy per 7B decode
+      step, 444 ms vs 28.8 ms). Storing flat makes the kernel's
+      [n_layers*S*L, W] view a true bitcast (major-dims merge only); the
+      per-step [S, Hkv, hd] -> [S, W] writer reshapes are ~KB-scale.
+
+    k_scale/v_scale: [n_layers, S, L, n_kv_heads] f32 (int8 only, else
+    None) — same shape in both layouts.
     """
 
     k: jax.Array
     v: jax.Array
     k_scale: Optional[jax.Array]
     v_scale: Optional[jax.Array]
+    flat: bool = False
 
     def tree_flatten(self):
-        return (self.k, self.v, self.k_scale, self.v_scale), ()
+        return (self.k, self.v, self.k_scale, self.v_scale), (self.flat,)
 
     @classmethod
     def tree_unflatten(cls, aux, children):
-        return cls(*children)
+        return cls(*children, flat=aux[0])
 
     @property
     def quantized(self) -> bool:
@@ -181,30 +194,70 @@ class KVCache:
 
     @classmethod
     def create(cls, p: LlamaParams, n_slots: int, max_len: int, quantized: bool,
-               dtype=jnp.bfloat16) -> "KVCache":
-        shape = (p.n_layers, n_slots, max_len, p.n_kv_heads, p.head_dim)
+               dtype=jnp.bfloat16, flat: bool = False) -> "KVCache":
+        if flat:
+            shape = (p.n_layers, n_slots, max_len, p.n_kv_heads * p.head_dim)
+        else:
+            shape = (p.n_layers, n_slots, max_len, p.n_kv_heads, p.head_dim)
+        scale_shape = (p.n_layers, n_slots, max_len, p.n_kv_heads)
         if quantized:
             return cls(
                 k=jnp.zeros(shape, jnp.int8),
                 v=jnp.zeros(shape, jnp.int8),
-                k_scale=jnp.zeros(shape[:-1], jnp.float32),
-                v_scale=jnp.zeros(shape[:-1], jnp.float32),
+                k_scale=jnp.zeros(scale_shape, jnp.float32),
+                v_scale=jnp.zeros(scale_shape, jnp.float32),
+                flat=flat,
             )
         return cls(k=jnp.zeros(shape, dtype), v=jnp.zeros(shape, dtype),
-                   k_scale=None, v_scale=None)
+                   k_scale=None, v_scale=None, flat=flat)
 
 
-def _use_pallas_attention() -> bool:
-    """Fused decode attention kernel (TPUSERVE_DECODE_ATTN=pallas opts in).
-    Currently opt-in: the per-head-unrolled kernel measured slower than the
-    XLA einsum path on v5e (33 vs 15 ms/step on 7B — Mosaic issue overhead
-    dominates at [1,128]-sized dots); the XLA path is the default until the
-    kernel is reworked to full-width VPU scoring."""
+def preferred_cache_flat(p: LlamaParams) -> bool:
+    """Whether caches for this process should use the flat layout (i.e. the
+    wide Pallas decode kernel is active — see KVCache docstring)."""
+    return _decode_attn_mode(p) == "pallas"
+
+
+def _write_slot_kv(cache: KVCache, layer, slot, start, kq, vq, ks, vs) -> KVCache:
+    """dynamic_update_slice a [C, Hkv, hd] chunk (+ scales [C, Hkv] or None)
+    into (layer, slot, start..start+C), handling both cache layouts."""
+    c = kq.shape[0]
+    if cache.flat:
+        kw, vw = kq.reshape(c, -1)[None][None], vq.reshape(c, -1)[None][None]
+        idx = (layer, slot, start, 0)
+    else:
+        kw, vw = kq[None][None], vq[None][None]
+        idx = (layer, slot, start, 0, 0)
+    k = jax.lax.dynamic_update_slice(cache.k, kw.astype(cache.k.dtype), idx)
+    v = jax.lax.dynamic_update_slice(cache.v, vw.astype(cache.v.dtype), idx)
+    if ks is not None:
+        ks_ = jax.lax.dynamic_update_slice(cache.k_scale, ks[None][None], (layer, slot, start, 0))
+        vs_ = jax.lax.dynamic_update_slice(cache.v_scale, vs[None][None], (layer, slot, start, 0))
+    else:
+        ks_ = vs_ = None
+    return KVCache(k, v, ks_, vs_, flat=cache.flat)
+
+
+def _decode_attn_mode(p: "LlamaParams") -> str:
+    """Decode-attention implementation (TPUSERVE_DECODE_ATTN):
+
+    - "pallas": the v3 "wide" kernel (ops/decode_attention.py) reading the
+      full cache in place via a scalar-prefetched layer index — lane-major
+      [bl, Hkv*hd] KV blocks, int8 score dot, O(M*bl) softmax state.
+    - "grouped": the r1 head-group kernel (measured slower than XLA on v5e:
+      33 vs 15 ms/step at 7B — minimum-tile MXU dots); kept for sweeps.
+    - "xla": batched-einsum fallback (the r1 default).
+    """
     import os
 
-    if os.environ.get("TPUSERVE_DECODE_ATTN", "xla").lower() != "pallas":
-        return False
-    return jax.devices()[0].platform == "tpu"
+    mode = os.environ.get("TPUSERVE_DECODE_ATTN", "xla").lower()
+    if mode not in ("pallas", "grouped"):
+        return "xla"
+    if jax.devices()[0].platform != "tpu":
+        return "xla"
+    if mode == "pallas" and p.head_dim % 128 != 0:
+        return "xla"  # wide epilogue needs lane-tile-aligned head slices
+    return mode
 
 
 def _quantize_kv(x: jax.Array) -> Tuple[jax.Array, jax.Array]:
@@ -323,19 +376,9 @@ def prefill(params, p: LlamaParams, tokens: jax.Array, cache: KVCache,
             if new_cache.quantized:
                 kq, ks = _quantize_kv(k[0])
                 vq, vs = _quantize_kv(v[0])
-                new_cache = KVCache(
-                    k=jax.lax.dynamic_update_slice(new_cache.k, kq[None][None], (layer, slot, 0, 0, 0)),
-                    v=jax.lax.dynamic_update_slice(new_cache.v, vq[None][None], (layer, slot, 0, 0, 0)),
-                    k_scale=jax.lax.dynamic_update_slice(new_cache.k_scale, ks[None][None], (layer, slot, 0, 0)),
-                    v_scale=jax.lax.dynamic_update_slice(new_cache.v_scale, vs[None][None], (layer, slot, 0, 0)),
-                )
             else:
-                new_cache = KVCache(
-                    k=jax.lax.dynamic_update_slice(new_cache.k, k.astype(new_cache.k.dtype)[None], (layer, slot, 0, 0, 0)),
-                    v=jax.lax.dynamic_update_slice(new_cache.v, v.astype(new_cache.v.dtype)[None], (layer, slot, 0, 0, 0)),
-                    k_scale=None,
-                    v_scale=None,
-                )
+                kq, vq, ks, vs = k[0], v[0], None, None
+            new_cache = _write_slot_kv(new_cache, layer, slot, 0, kq, vq, ks, vs)
             out = _attention_prefill(q, k, v, mask)
             return out.reshape(b, l, p.n_heads * p.head_dim)
 
@@ -388,22 +431,15 @@ def prefill_chunk(params, p: LlamaParams, tokens: jax.Array, cache: KVCache,
             if new_cache.quantized:
                 kq, ks = _quantize_kv(k[0])
                 vq, vs = _quantize_kv(v[0])
-                new_cache = KVCache(
-                    k=jax.lax.dynamic_update_slice(new_cache.k, kq[None][None], (layer, slot, start, 0, 0)),
-                    v=jax.lax.dynamic_update_slice(new_cache.v, vq[None][None], (layer, slot, start, 0, 0)),
-                    k_scale=jax.lax.dynamic_update_slice(new_cache.k_scale, ks[None][None], (layer, slot, start, 0)),
-                    v_scale=jax.lax.dynamic_update_slice(new_cache.v_scale, vs[None][None], (layer, slot, start, 0)),
-                )
             else:
-                new_cache = KVCache(
-                    k=jax.lax.dynamic_update_slice(new_cache.k, k.astype(new_cache.k.dtype)[None], (layer, slot, start, 0, 0)),
-                    v=jax.lax.dynamic_update_slice(new_cache.v, v.astype(new_cache.v.dtype)[None], (layer, slot, start, 0, 0)),
-                    k_scale=None,
-                    v_scale=None,
-                )
+                kq, vq, ks, vs = k[0], v[0], None, None
+            new_cache = _write_slot_kv(new_cache, layer, slot, start, kq, vq, ks, vs)
             # attend over the cache prefix [0, window) for THIS slot
             k_all = jax.lax.dynamic_slice_in_dim(new_cache.k[layer], slot, 1, 0)[0, :window]
             v_all = jax.lax.dynamic_slice_in_dim(new_cache.v[layer], slot, 1, 0)[0, :window]
+            if new_cache.flat:
+                k_all = k_all.reshape(window, p.n_kv_heads, p.head_dim)
+                v_all = v_all.reshape(window, p.n_kv_heads, p.head_dim)
             n_rep = p.n_heads // p.n_kv_heads
             qg = q[0].reshape(c, p.n_kv_heads, n_rep, p.head_dim)
             cdt = jnp.float32 if k_all.dtype == jnp.float32 else jnp.bfloat16
@@ -513,31 +549,57 @@ def decode_step(params, p: LlamaParams, tokens: jax.Array, cache: KVCache,
             if new_cache.quantized:
                 kq, ks = _quantize_kv(k)  # [S, Hkv, hd], [S, Hkv]
                 vq, vs = _quantize_kv(v)
-                new_cache = KVCache(
-                    k=new_cache.k.at[layer, slot_idx, pos].set(masked(kq, new_cache.k)),
-                    v=new_cache.v.at[layer, slot_idx, pos].set(masked(vq, new_cache.v)),
-                    k_scale=new_cache.k_scale.at[layer, slot_idx, pos].set(masked(ks, new_cache.k_scale)),
-                    v_scale=new_cache.v_scale.at[layer, slot_idx, pos].set(masked(vs, new_cache.v_scale)),
+            else:
+                kq = k.astype(new_cache.k.dtype)
+                vq = v.astype(new_cache.v.dtype)
+                ks = vs = None
+            if new_cache.flat:
+                kq, vq = kq.reshape(s, -1), vq.reshape(s, -1)  # [S, W] rows
+            new_cache = KVCache(
+                k=new_cache.k.at[layer, slot_idx, pos].set(masked(kq.astype(new_cache.k.dtype), new_cache.k)),
+                v=new_cache.v.at[layer, slot_idx, pos].set(masked(vq.astype(new_cache.v.dtype), new_cache.v)),
+                k_scale=None if ks is None else new_cache.k_scale.at[layer, slot_idx, pos].set(masked(ks, new_cache.k_scale)),
+                v_scale=None if vs is None else new_cache.v_scale.at[layer, slot_idx, pos].set(masked(vs, new_cache.v_scale)),
+                flat=new_cache.flat,
+            )
+
+            attn_mode = _decode_attn_mode(p)
+            if attn_mode == "pallas":
+                # v3 wide kernel over the cache IN PLACE: no per-layer
+                # [S, win, Hkv, hd] slice copy (that copy is a second full
+                # KV pass), one Mosaic compile shared by all layers via the
+                # scalar-prefetched layer index
+                from tpuserve.ops.decode_attention import decode_attention_wide_cache
+
+                out = decode_attention_wide_cache(
+                    q / math.sqrt(p.head_dim),
+                    new_cache.k,
+                    new_cache.v,
+                    new_cache.k_scale[layer] if new_cache.quantized else None,
+                    new_cache.v_scale[layer] if new_cache.quantized else None,
+                    positions,
+                    layer,
+                    window=win,
                 )
-                k_all = new_cache.k[layer, :, :win]  # [S, win, Hkv, hd] int8
-                v_all = new_cache.v[layer, :, :win]
+                return out.astype(x.dtype).reshape(s, p.n_heads * p.head_dim)
+
+            k_all = new_cache.k[layer, :, :win]  # [S, win, Hkv, hd]
+            v_all = new_cache.v[layer, :, :win]
+            if new_cache.flat:
+                # tile-crossing relayout (full window copy per layer on TPU)
+                # — acceptable only on this fallback path; the kernel path
+                # above reads the flat cache in place
+                k_all = k_all.reshape(s, win, p.n_kv_heads, p.head_dim)
+                v_all = v_all.reshape(s, win, p.n_kv_heads, p.head_dim)
+            if new_cache.quantized:
                 k_scale = new_cache.k_scale[layer, :, :win]  # [S, win, Hkv]
                 v_scale = new_cache.v_scale[layer, :, :win]
             else:
-                new_cache = KVCache(
-                    k=new_cache.k.at[layer, slot_idx, pos].set(masked(k.astype(new_cache.k.dtype), new_cache.k)),
-                    v=new_cache.v.at[layer, slot_idx, pos].set(masked(v.astype(new_cache.v.dtype), new_cache.v)),
-                    k_scale=None,
-                    v_scale=None,
-                )
-                k_all = new_cache.k[layer, :, :win]
-                v_all = new_cache.v[layer, :, :win]
                 k_scale = v_scale = None
 
-            if _use_pallas_attention():
-                # fused flash-decode kernel: one pallas_call replaces the
-                # S*Hkv tiny batched gemms XLA would emit (the measured
-                # dominant cost of a decode step)
+            if attn_mode == "grouped":
+                # r1 head-group kernel (slower than XLA on v5e; kept for
+                # sweeps/ablation)
                 from tpuserve.ops.decode_attention import decode_attention
 
                 out = decode_attention(
@@ -627,19 +689,19 @@ def prefill_paged(params, p: LlamaParams, tokens: jax.Array, cache,
             if new_cache.quantized:
                 kq, ks = _quantize_kv(k[0])  # [L, Hkv, hd], [L, Hkv]
                 vq, vs = _quantize_kv(v[0])
-                new_cache = PagedKVCache(
-                    k=new_cache.k.at[layer, page_ids, offsets].set(kq),
-                    v=new_cache.v.at[layer, page_ids, offsets].set(vq),
-                    k_scale=new_cache.k_scale.at[layer, page_ids, offsets].set(ks),
-                    v_scale=new_cache.v_scale.at[layer, page_ids, offsets].set(vs),
-                )
             else:
-                new_cache = PagedKVCache(
-                    k=new_cache.k.at[layer, page_ids, offsets].set(k[0].astype(new_cache.k.dtype)),
-                    v=new_cache.v.at[layer, page_ids, offsets].set(v[0].astype(new_cache.v.dtype)),
-                    k_scale=None,
-                    v_scale=None,
-                )
+                kq = k[0].astype(new_cache.k.dtype)
+                vq = v[0].astype(new_cache.v.dtype)
+                ks = vs = None
+            if new_cache.flat:
+                kq, vq = kq.reshape(l, -1), vq.reshape(l, -1)
+            new_cache = PagedKVCache(
+                k=new_cache.k.at[layer, page_ids, offsets].set(kq.astype(new_cache.k.dtype)),
+                v=new_cache.v.at[layer, page_ids, offsets].set(vq.astype(new_cache.v.dtype)),
+                k_scale=None if ks is None else new_cache.k_scale.at[layer, page_ids, offsets].set(ks),
+                v_scale=None if vs is None else new_cache.v_scale.at[layer, page_ids, offsets].set(vs),
+                flat=new_cache.flat,
+            )
             out = _attention_prefill(q, k, v, mask)
             return out.reshape(b, l, p.n_heads * p.head_dim)
 
@@ -702,29 +764,52 @@ def decode_step_paged(params, p: LlamaParams, tokens: jax.Array, cache,
             if new_cache.quantized:
                 kq, ks = _quantize_kv(k)
                 vq, vs = _quantize_kv(v)
-                new_cache = PagedKVCache(
-                    k=new_cache.k.at[layer, wpage, woff].set(masked(kq, new_cache.k)),
-                    v=new_cache.v.at[layer, wpage, woff].set(masked(vq, new_cache.v)),
-                    k_scale=new_cache.k_scale.at[layer, wpage, woff].set(masked(ks, new_cache.k_scale)),
-                    v_scale=new_cache.v_scale.at[layer, wpage, woff].set(masked(vs, new_cache.v_scale)),
-                )
             else:
-                new_cache = PagedKVCache(
-                    k=new_cache.k.at[layer, wpage, woff].set(masked(k.astype(new_cache.k.dtype), new_cache.k)),
-                    v=new_cache.v.at[layer, wpage, woff].set(masked(v.astype(new_cache.v.dtype), new_cache.v)),
-                    k_scale=None,
-                    v_scale=None,
-                )
+                kq = k.astype(new_cache.k.dtype)
+                vq = v.astype(new_cache.v.dtype)
+                ks = vs = None
+            if new_cache.flat:
+                kq, vq = kq.reshape(s, -1), vq.reshape(s, -1)
+            new_cache = PagedKVCache(
+                k=new_cache.k.at[layer, wpage, woff].set(masked(kq.astype(new_cache.k.dtype), new_cache.k)),
+                v=new_cache.v.at[layer, wpage, woff].set(masked(vq.astype(new_cache.v.dtype), new_cache.v)),
+                k_scale=None if ks is None else new_cache.k_scale.at[layer, wpage, woff].set(masked(ks, new_cache.k_scale)),
+                v_scale=None if vs is None else new_cache.v_scale.at[layer, wpage, woff].set(masked(vs, new_cache.v_scale)),
+                flat=new_cache.flat,
+            )
 
-            # gather the logical per-slot view from the page pool
-            kp = new_cache.k[layer][page_table]  # [S, P, ps, Hkv, hd]
-            k_all = kp.reshape(s, l_virt, p.n_kv_heads, p.head_dim)
-            v_all = new_cache.v[layer][page_table].reshape(s, l_virt, p.n_kv_heads, p.head_dim)
             if new_cache.quantized:
+                # scales are gathered either way (S*win*Hkv*4 bytes, ~1.5%
+                # of the KV read) — the kernel takes them pre-gathered
                 k_scale = new_cache.k_scale[layer][page_table].reshape(s, l_virt, p.n_kv_heads)
                 v_scale = new_cache.v_scale[layer][page_table].reshape(s, l_virt, p.n_kv_heads)
             else:
                 k_scale = v_scale = None
+
+            if _decode_attn_mode(p) == "pallas" and ps % 8 == 0:
+                # paged wide kernel: page indirection rides the scalar-
+                # prefetch channel; pages stream from the pool IN PLACE —
+                # no [S, P, ps, ...] gather pass (the XLA path's documented
+                # extra HBM pass per layer)
+                from tpuserve.ops.decode_attention import decode_attention_wide_paged
+
+                out = decode_attention_wide_paged(
+                    q / math.sqrt(p.head_dim),
+                    new_cache.k,
+                    new_cache.v,
+                    k_scale,
+                    v_scale,
+                    page_table,
+                    positions,
+                    layer,
+                    window=l_virt,
+                )
+                return out.astype(x.dtype).reshape(s, p.n_heads * p.head_dim)
+
+            # gather the logical per-slot view from the page pool
+            kp = new_cache.k[layer][page_table]  # [S, P, ps, ...]
+            k_all = kp.reshape(s, l_virt, p.n_kv_heads, p.head_dim)
+            v_all = new_cache.v[layer][page_table].reshape(s, l_virt, p.n_kv_heads, p.head_dim)
             return _gqa_decode_attention(
                 q.reshape(s, -1), k_all, v_all, k_scale, v_scale, read_mask, p, x.dtype
             )

@@ -64,6 +64,530 @@ from jax.experimental.pallas import tpu as pltpu
 _NEG_INF = -1e30
 
 
+# --------------------------------------------------------------- v3 ("wide")
+# Lane-major decode attention. Design rationale (v3, after measuring v2):
+#
+# v2 viewed the cache as [block_l*G, hd] tiles — 128-byte minor rows — and
+# never exceeded ~140 GB/s on the KV stream, while the weight kernel
+# (ops/quant_matmul.py) streams [bk, 4096]-shaped int8 blocks at 470-841
+# GB/s on the same chip. v3 therefore adopts the weight kernel's exact
+# access shape: K and V are read as [block_l, W] blocks of the *flat* cache
+# view [S*L, W], W = Hkv*hd (4096 for Llama-2-7B) — fully contiguous,
+# 4-KB minor rows, 1-MB blocks, 2D BlockSpecs, static index maps.
+#
+# To score against a [block_l, W] tile with ONE wide dot, q is packed as
+# Q_wide [M, W] int8 (M = all query heads): row m holds query head m's
+# int8 vector at lane slice [h_m*hd, (h_m+1)*hd) (h_m = m // rep) and
+# zeros elsewhere, so
+#
+#     scores[m, l] = Q_wide[m, :] . K_flat[l, :]        (ABᵀ, int8 MXU)
+#
+# is exactly the per-head score — no head mask, no [M, R] waste: softmax
+# state is [M, block_l] (32x smaller than v2's). The V side is the
+# MXU-native A@B form O += P[M, bl] @ V[bl, W], accumulated in an
+# [M, W] f32 scratch; each row's live hd-slice is extracted once at the
+# end of the L walk by a static unrolled lane-slice sum (Hkv slices of
+# [M, hd]); every other lane of acc is mathematically garbage that one
+# select zeroes out.
+#
+# INT8 KV path: K never converts (int8 x int8 -> int32 MXU at 2x rate);
+# per-(l,h) K/V scales arrive pre-transposed as [S*M, L] rows so they
+# multiply scores/probs elementwise in [M, bl] orientation with no
+# in-kernel transpose. V also never converts: P (with V scales folded) is
+# re-quantized per row to int8 in-kernel, so P@V runs on the int8 MXU too
+# — the earlier bf16-V variant spent ~1M VPU convert elements per block
+# (comparable to the block's DMA time) and measured ~190 GB/s effective.
+#
+# The full cache is read IN PLACE: decode_attention_wide_cache takes the
+# flat [n_layers, S, L, W] KVCache layout (see models/llama.py KVCache)
+# and offsets its index maps by a scalar-prefetched layer id, so there is
+# no per-layer slice/reshape and one Mosaic compile serves every layer.
+
+
+def _wide_kernel(pos_ref, qw_ref, qs_ref, k_ref, v_ref, ks_ref, vs_ref,
+                 o_ref, m_ref, l_ref, acc_ref, *, block_l, n_kv, rep, hd,
+                 kv_int8, quantized, pos_base=0):
+    i = pl.program_id(0)
+    j = pl.program_id(1)
+    pos = pos_ref[pos_base + i]
+    m_dim = qw_ref.shape[0]
+
+    @pl.when(j == 0)
+    def _():
+        m_ref[:] = jnp.full_like(m_ref, _NEG_INF)
+        l_ref[:] = jnp.zeros_like(l_ref)
+        acc_ref[:] = jnp.zeros_like(acc_ref)
+
+    # skip L blocks wholly past this slot's live length (covers inactive
+    # slots too: pos < 0 masks everything)
+    @pl.when(j * block_l <= pos)
+    def _compute():
+        kb = k_ref[...]                       # [bl, W] int8 (or bf16/f32)
+        if kv_int8:
+            s = jax.lax.dot_general(
+                qw_ref[...], kb, (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.int32,
+            ).astype(jnp.float32)             # [M, bl] via int8 MXU
+            s = s * qs_ref[0] * ks_ref[...]   # [M,1] row x [M,bl] elementwise
+        else:
+            s = jax.lax.dot_general(
+                qw_ref[...].astype(jnp.float32), kb.astype(jnp.float32),
+                (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32,
+            )
+            if quantized:
+                s = s * ks_ref[...]
+
+        # causal/liveness mask over lanes (positions)
+        lpos = jax.lax.broadcasted_iota(jnp.int32, (1, block_l), 1) + j * block_l
+        s = s + jnp.where(lpos <= pos, 0.0, _NEG_INF)
+
+        m_prev = m_ref[:, 0:1]
+        m_new = jnp.maximum(m_prev, jnp.max(s, axis=1, keepdims=True))
+        m_safe = jnp.maximum(m_new, _NEG_INF / 2)
+        p = jnp.exp(s - m_safe)               # [M, bl]
+        corr = jnp.exp(m_prev - m_safe)       # [M, 1]
+        l_ref[:, 0:1] = l_ref[:, 0:1] * corr + jnp.sum(p, axis=1, keepdims=True)
+        m_ref[:, 0:1] = m_new
+
+        if quantized:
+            p = p * vs_ref[...]               # V dequant folded at O(M*bl)
+        vb = v_ref[...]
+        if kv_int8:
+            # quantize P rows to int8 (SageAttention2-style) so P@V runs on
+            # the int8 MXU: the alternative — converting the [bl, W] int8 V
+            # block to bf16 — is ~1M VPU elements per block at 7B shapes,
+            # comparable to the block's DMA time, and was measured to hold
+            # the kernel at ~190 GB/s. Quantizing the [M, bl] P tile is
+            # 32x less VPU work; per-row scales keep 7 bits of the row max
+            # (error ~ sqrt(bl)/254 of the row max — below the int8-KV
+            # noise floor).
+            pmax = jnp.max(jnp.abs(p), axis=1, keepdims=True)
+            pscale = jnp.maximum(pmax / 127.0, 1e-20)     # [M, 1]
+            pq = jnp.clip(jnp.round(p / pscale), -127, 127).astype(jnp.int8)
+            part = jax.lax.dot_general(
+                pq, vb, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.int32,
+            ).astype(jnp.float32) * pscale    # [M, W] = P @ V (int8 MXU)
+        else:
+            if vb.dtype != jnp.float32:
+                vb = vb.astype(jnp.bfloat16)
+                p = p.astype(jnp.bfloat16)
+            part = jax.lax.dot_general(
+                p, vb, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )                                 # [M, W] = P @ V
+        acc_ref[:] = acc_ref[:] * corr + part
+
+    @pl.when(j == pl.num_programs(1) - 1)
+    def _():
+        # extract each query head's live hd-slice: static unrolled lane
+        # slices (all tile-aligned for hd % 128 == 0)
+        row_h = jax.lax.broadcasted_iota(jnp.int32, (m_dim, hd), 0) // rep
+        out = jnp.zeros((m_dim, hd), jnp.float32)
+        for h in range(n_kv):
+            sel = (row_h == h).astype(jnp.float32)
+            out = out + acc_ref[:, h * hd:(h + 1) * hd] * sel
+        l_all = l_ref[:, 0:1]
+        o_ref[0] = jnp.where(l_all > 0, out / jnp.maximum(l_all, 1e-20), 0.0)
+
+
+def _prep_wide(q, k_dtype, k_scale, v_scale, *, rep, n_kv, kv_int8,
+               quantized, l_win):
+    """Shared host-side prep for the wide kernel: build Q_wide [S*M, W] (one
+    one-hot multiply, XLA fuses it to a single 8-MB/layer write at 7B
+    shapes), per-head q scales [S, M, 1], and K/V scale rows [S*M, l_win]
+    matching the kernel's [M, bl] score orientation."""
+    s_dim, n_heads, hd = q.shape
+    w = n_kv * hd
+    m_dim = n_heads
+    onehot = (jnp.arange(n_heads)[:, None] // rep
+              == jnp.arange(n_kv)[None, :]).astype(jnp.float32)
+    if kv_int8:
+        qi, qs = _quantize_q(q)               # int8 [S, M, hd], f32 [S, M, 1]
+        qwide = (qi.astype(jnp.int32)[:, :, None, :]
+                 * onehot.astype(jnp.int32)[None, :, :, None]).astype(jnp.int8)
+    else:
+        qf = q.astype(jnp.float32)
+        qwide = (qf[:, :, None, :] * onehot[None, :, :, None]).astype(
+            jnp.bfloat16 if k_dtype != jnp.float32 else jnp.float32)
+        qs = jnp.zeros((s_dim, n_heads, 1), jnp.float32)
+    qwide = qwide.reshape(s_dim * n_heads, w)
+
+    if quantized:
+        # [S, l_win, Hkv] -> repeat to H query heads -> [S*M, l_win] rows
+        ksr = jnp.repeat(k_scale, rep, axis=2).transpose(0, 2, 1) \
+            .reshape(s_dim * m_dim, l_win)
+        vsr = jnp.repeat(v_scale, rep, axis=2).transpose(0, 2, 1) \
+            .reshape(s_dim * m_dim, l_win)
+    else:
+        ksr = jnp.zeros((s_dim * m_dim, 1), jnp.float32)
+        vsr = ksr
+    return qwide, qs, ksr, vsr
+
+
+def decode_attention_wide(
+    q: jax.Array,
+    k: jax.Array,
+    v: jax.Array,
+    k_scale: Optional[jax.Array],
+    v_scale: Optional[jax.Array],
+    positions: jax.Array,
+    *,
+    block_l: int = 256,
+    interpret: Optional[bool] = None,
+) -> jax.Array:
+    """v3 lane-major fused decode attention (see design note above).
+
+    Same contract as decode_attention: q [S, H, hd] (already scaled by
+    1/sqrt(hd)), k/v [S, L, Hkv, hd] int8/bf16/f32, scales [S, L, Hkv] f32
+    or None, positions [S] int32 (-1 = inactive). Returns [S, H, hd] f32.
+    Requires hd % 128 == 0 on TPU (lane-tile-aligned extraction).
+    """
+    if interpret is None:
+        interpret = jax.devices()[0].platform != "tpu"
+    s_dim, n_heads, hd = q.shape
+    _, l_max, n_kv, _ = k.shape
+    rep = n_heads // n_kv
+    w = n_kv * hd
+    quantized = k_scale is not None
+    kv_int8 = bool(quantized) and k.dtype == jnp.int8
+    m_dim = n_heads
+
+    block_l = min(block_l, l_max)
+    while l_max % block_l != 0:
+        block_l //= 2
+    n_blocks = l_max // block_l
+
+    qwide, qs, ksr, vsr = _prep_wide(
+        q, k.dtype, k_scale, v_scale, rep=rep, n_kv=n_kv, kv_int8=kv_int8,
+        quantized=quantized, l_win=l_max)
+
+    kf = k.reshape(s_dim * l_max, w)
+    vf = v.reshape(s_dim * l_max, w)
+
+    lpb = l_max // block_l  # L blocks per slot
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(s_dim, n_blocks),
+        in_specs=[
+            pl.BlockSpec((m_dim, w), lambda i, j, *_: (i, 0),
+                         memory_space=pltpu.VMEM),           # Q_wide rows
+            pl.BlockSpec((1, m_dim, 1), lambda i, j, *_: (i, 0, 0),
+                         memory_space=pltpu.VMEM),           # q scales
+            pl.BlockSpec((block_l, w), lambda i, j, *_: (i * lpb + j, 0),
+                         memory_space=pltpu.VMEM),           # K flat
+            pl.BlockSpec((block_l, w), lambda i, j, *_: (i * lpb + j, 0),
+                         memory_space=pltpu.VMEM),           # V flat
+            pl.BlockSpec((m_dim, block_l if quantized else 1),
+                         (lambda i, j, *_: (i, j)) if quantized
+                         else (lambda i, j, *_: (i, 0)),
+                         memory_space=pltpu.VMEM),           # K scales [M, bl]
+            pl.BlockSpec((m_dim, block_l if quantized else 1),
+                         (lambda i, j, *_: (i, j)) if quantized
+                         else (lambda i, j, *_: (i, 0)),
+                         memory_space=pltpu.VMEM),           # V scales
+        ],
+        out_specs=pl.BlockSpec((1, m_dim, hd), lambda i, j, *_: (i, 0, 0),
+                               memory_space=pltpu.VMEM),
+        scratch_shapes=[
+            pltpu.VMEM((m_dim, 1), jnp.float32),   # running max
+            pltpu.VMEM((m_dim, 1), jnp.float32),   # running sum
+            pltpu.VMEM((m_dim, w), jnp.float32),   # O_wide accumulator
+        ],
+    )
+    out = pl.pallas_call(
+        functools.partial(
+            _wide_kernel, block_l=block_l, n_kv=n_kv, rep=rep, hd=hd,
+            kv_int8=kv_int8, quantized=quantized,
+        ),
+        out_shape=jax.ShapeDtypeStruct((s_dim, m_dim, hd), jnp.float32),
+        grid_spec=grid_spec,
+        compiler_params=pltpu.CompilerParams(
+            # both "arbitrary": v5e has one TensorCore, so "parallel" buys
+            # nothing, and a single sequential grid keeps one continuous
+            # double-buffered DMA pipeline across slots
+            dimension_semantics=("arbitrary", "arbitrary"),
+        ),
+        interpret=bool(interpret),
+    )(positions.astype(jnp.int32), qwide, qs, kf, vf, ksr, vsr)
+    return out
+
+
+def decode_attention_wide_cache(
+    q: jax.Array,
+    k_full: jax.Array,
+    v_full: jax.Array,
+    k_scale_l: Optional[jax.Array],
+    v_scale_l: Optional[jax.Array],
+    positions: jax.Array,
+    layer,
+    *,
+    window: Optional[int] = None,
+    block_l: Optional[int] = None,
+    interpret: Optional[bool] = None,
+) -> jax.Array:
+    """v3 wide kernel reading the FULL multi-layer cache in place.
+
+    The decode step updates the whole [n_layers, S, L, Hkv, hd] cache
+    functionally; slicing one layer out for a pallas_call would materialize
+    an S*L*W copy per layer — a second full KV pass that erases the
+    kernel's win. Instead the kernel takes the flat [n_layers*S*L, W] view
+    (a free reshape) and offsets its K/V index maps by a scalar-prefetched
+    `layer` index, so (a) zero copies by construction and (b) all layers
+    share ONE Mosaic compilation (the kernel body and index maps are
+    layer-independent; XLA dedupes the identical custom calls).
+
+    q            [S, H, hd], already scaled by 1/sqrt(hd)
+    k_full/v_full [n_layers, S, L, W] (flat KVCache layout — preferred: the
+                 2D kernel view is then a bitcast) or [n_layers, S, L, Hkv,
+                 hd] (the 5D view reshapes across TPU tiles = full-cache
+                 copy; only acceptable in CPU/interpret tests)
+    k_scale_l    this layer's scales [S, L, Hkv] f32, or None
+    positions    [S] int32, -1 = inactive
+    layer        int or traced int32 scalar
+    window       static read limit (<= L); callers guarantee
+                 max(positions)+1 <= window
+    Returns [S, H, hd] f32.
+    """
+    if interpret is None:
+        interpret = jax.devices()[0].platform != "tpu"
+    s_dim, n_heads, hd = q.shape
+    if k_full.ndim == 4:  # flat [n_layers, S, L, W]
+        n_layers, _, l_max, w = k_full.shape
+        n_kv = w // hd
+    else:
+        n_layers, _, l_max, n_kv, _ = k_full.shape
+        w = n_kv * hd
+    rep = n_heads // n_kv
+    quantized = k_scale_l is not None
+    kv_int8 = bool(quantized) and k_full.dtype == jnp.int8
+    m_dim = n_heads
+
+    win = l_max if window is None else min(int(window), l_max)
+    if block_l is None:
+        # smaller blocks = finer-grained per-slot DMA skip (a slot reads
+        # ceil((pos+1)/block_l) blocks); 64 rows x W is still a large
+        # enough DMA (256 KB at 7B) to stream at the measured peak
+        block_l = int(os.environ.get("TPUSERVE_ATTN_BLOCK_L", "64"))
+    block_l = min(block_l, win)
+    while win % block_l != 0:
+        block_l //= 2
+    assert l_max % block_l == 0, (l_max, block_l)
+    n_blocks = win // block_l
+    lpbf = l_max // block_l  # L blocks per slot in the FULL flat view
+
+    if quantized:
+        k_scale_l = k_scale_l[:, :win]
+        v_scale_l = v_scale_l[:, :win]
+    qwide, qs, ksr, vsr = _prep_wide(
+        q, k_full.dtype, k_scale_l, v_scale_l, rep=rep, n_kv=n_kv,
+        kv_int8=kv_int8, quantized=quantized, l_win=win)
+
+    kf = k_full.reshape(n_layers * s_dim * l_max, w)
+    vf = v_full.reshape(n_layers * s_dim * l_max, w)
+    scalars = jnp.concatenate([
+        jnp.asarray([layer], jnp.int32).reshape(1),
+        positions.astype(jnp.int32),
+    ])
+
+    # Per-slot DMA skip: the chip's measured achievable HBM stream is
+    # ~295 GB/s (scripts/peak_bw) and the whole decode step already runs at
+    # ~97% of it, so the remaining lever is BYTES, not rate. Clamping the
+    # L-block index to the slot's live length makes every dead-tail grid
+    # step re-reference the previous block, which Mosaic elides — KV
+    # traffic tracks actual context lengths instead of the bucket size.
+    # (XLA's einsum path must read the full static window; this skip is
+    # the kernel's structural advantage.) TPUSERVE_ATTN_DYNSKIP=0 disables
+    # for A/B.
+    dyn_skip = os.environ.get("TPUSERVE_ATTN_DYNSKIP", "1") == "1"
+
+    def kv_index(i, j, sref):
+        base = sref[0] * (s_dim * lpbf) + i * lpbf
+        if dyn_skip:
+            live = jnp.maximum(sref[1 + i], 0) // block_l
+            return (base + jnp.minimum(j, live), 0)
+        return (base + j, 0)
+
+    def sc_index(i, j, sref):
+        if not quantized:
+            return (i, 0)
+        if dyn_skip:
+            live = jnp.maximum(sref[1 + i], 0) // block_l
+            return (i, jnp.minimum(j, live))
+        return (i, j)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(s_dim, n_blocks),
+        in_specs=[
+            pl.BlockSpec((m_dim, w), lambda i, j, *_: (i, 0),
+                         memory_space=pltpu.VMEM),           # Q_wide rows
+            pl.BlockSpec((1, m_dim, 1), lambda i, j, *_: (i, 0, 0),
+                         memory_space=pltpu.VMEM),           # q scales
+            pl.BlockSpec((block_l, w), kv_index,
+                         memory_space=pltpu.VMEM),           # K flat (layer off)
+            pl.BlockSpec((block_l, w), kv_index,
+                         memory_space=pltpu.VMEM),           # V flat
+            pl.BlockSpec((m_dim, block_l if quantized else 1), sc_index,
+                         memory_space=pltpu.VMEM),           # K scales [M, bl]
+            pl.BlockSpec((m_dim, block_l if quantized else 1), sc_index,
+                         memory_space=pltpu.VMEM),           # V scales
+        ],
+        out_specs=pl.BlockSpec((1, m_dim, hd), lambda i, j, *_: (i, 0, 0),
+                               memory_space=pltpu.VMEM),
+        scratch_shapes=[
+            pltpu.VMEM((m_dim, 1), jnp.float32),   # running max
+            pltpu.VMEM((m_dim, 1), jnp.float32),   # running sum
+            pltpu.VMEM((m_dim, w), jnp.float32),   # O_wide accumulator
+        ],
+    )
+    out = pl.pallas_call(
+        functools.partial(
+            _wide_kernel, block_l=block_l, n_kv=n_kv, rep=rep, hd=hd,
+            kv_int8=kv_int8, quantized=quantized, pos_base=1,
+        ),
+        out_shape=jax.ShapeDtypeStruct((s_dim, m_dim, hd), jnp.float32),
+        grid_spec=grid_spec,
+        compiler_params=pltpu.CompilerParams(
+            # both "arbitrary": v5e has one TensorCore, so "parallel" buys
+            # nothing, and a single sequential grid keeps one continuous
+            # double-buffered DMA pipeline across slots
+            dimension_semantics=("arbitrary", "arbitrary"),
+        ),
+        interpret=bool(interpret),
+    )(scalars, qwide, qs, kf, vf, ksr, vsr)
+    return out
+
+
+def _paged_sc_index(s_dim, ps, quantized):
+    """Scale-row index map for the paged kernel: follows the same live-page
+    clamp as the KV blocks so dead-tail scale DMAs are elided too."""
+    if not quantized:
+        return lambda i, j, *_: (i, 0)
+
+    def sc_index(i, j, sref):
+        live = jnp.maximum(sref[1 + i], 0) // ps
+        return (i, jnp.minimum(j, live))
+
+    return sc_index
+
+
+def decode_attention_wide_paged(
+    q: jax.Array,
+    k_pool: jax.Array,
+    v_pool: jax.Array,
+    k_scale_l: Optional[jax.Array],
+    v_scale_l: Optional[jax.Array],
+    page_table: jax.Array,
+    positions: jax.Array,
+    layer,
+    *,
+    window: Optional[int] = None,
+    interpret: Optional[bool] = None,
+) -> jax.Array:
+    """v3 wide kernel over a PAGED KV pool — pages read in place.
+
+    The XLA paged path gathers the logical [S, P*ps, Hkv, hd] view per
+    layer (`k_pool[layer][page_table]`), costing a full extra HBM pass over
+    the window (serving/paged_kv.py's documented tradeoff). Here the page
+    indirection moves into the BlockSpec index map instead: the page table
+    rides the scalar-prefetch channel (SMEM), each L-block IS one page, and
+    its pool row is looked up at grid-step time — so the DMA engine streams
+    pages directly, zero gather, same access shape as the contiguous
+    kernel ([ps, W] 2D blocks of the flat pool view).
+
+    q           [S, H, hd], already scaled by 1/sqrt(hd)
+    k_pool/v_pool [n_layers, n_pages, ps, W] (flat PagedKVCache layout) or
+                [n_layers, n_pages, ps, Hkv, hd] (5D; copies on TPU — test
+                use only)
+    k_scale_l   this layer's GATHERED scales [S, win, Hkv] f32 or None
+                (scales are S*win*Hkv*4 bytes — gathering them outside is
+                ~1.5% of the KV bytes the kernel saves)
+    page_table  [S, P] int32, entries are pool page ids (0 = zero page)
+    positions   [S] int32, -1 = inactive
+    window      static read limit, multiple of page_size
+    Returns [S, H, hd] f32. Requires page_size % 8 == 0 on TPU.
+    """
+    if interpret is None:
+        interpret = jax.devices()[0].platform != "tpu"
+    s_dim, n_heads, hd = q.shape
+    if k_pool.ndim == 4:  # flat [n_layers, n_pages, ps, W]
+        n_layers, n_pages, ps, w = k_pool.shape
+        n_kv = w // hd
+    else:
+        n_layers, n_pages, ps, n_kv, _ = k_pool.shape
+        w = n_kv * hd
+    rep = n_heads // n_kv
+    m_dim = n_heads
+    max_pages = page_table.shape[1]
+    l_virt = max_pages * ps
+    win = l_virt if window is None else min(int(window), l_virt)
+    assert win % ps == 0, (win, ps)
+    n_blocks = win // ps
+    quantized = k_scale_l is not None
+    kv_int8 = bool(quantized) and k_pool.dtype == jnp.int8
+
+    qwide, qs, ksr, vsr = _prep_wide(
+        q, k_pool.dtype, k_scale_l, v_scale_l, rep=rep, n_kv=n_kv,
+        kv_int8=kv_int8, quantized=quantized, l_win=win)
+
+    kf = k_pool.reshape(n_layers * n_pages * ps, w)
+    vf = v_pool.reshape(n_layers * n_pages * ps, w)
+    scalars = jnp.concatenate([
+        jnp.asarray([layer], jnp.int32).reshape(1),
+        positions.astype(jnp.int32),
+        page_table.astype(jnp.int32).reshape(-1),
+    ])
+
+    def kv_index(i, j, sref):
+        # clamp to the slot's live page so dead-tail grid steps re-reference
+        # the last live page (DMA elided) instead of re-fetching page 0
+        live = jnp.maximum(sref[1 + i], 0) // ps
+        page = sref[1 + s_dim + i * max_pages + jnp.minimum(j, live)]
+        return (sref[0] * n_pages + page, 0)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(s_dim, n_blocks),
+        in_specs=[
+            pl.BlockSpec((m_dim, w), lambda i, j, *_: (i, 0),
+                         memory_space=pltpu.VMEM),           # Q_wide rows
+            pl.BlockSpec((1, m_dim, 1), lambda i, j, *_: (i, 0, 0),
+                         memory_space=pltpu.VMEM),           # q scales
+            pl.BlockSpec((ps, w), kv_index, memory_space=pltpu.VMEM),
+            pl.BlockSpec((ps, w), kv_index, memory_space=pltpu.VMEM),
+            pl.BlockSpec((m_dim, ps if quantized else 1), _paged_sc_index(s_dim, ps, quantized),
+                         memory_space=pltpu.VMEM),           # K scales [M, ps]
+            pl.BlockSpec((m_dim, ps if quantized else 1), _paged_sc_index(s_dim, ps, quantized),
+                         memory_space=pltpu.VMEM),           # V scales
+        ],
+        out_specs=pl.BlockSpec((1, m_dim, hd), lambda i, j, *_: (i, 0, 0),
+                               memory_space=pltpu.VMEM),
+        scratch_shapes=[
+            pltpu.VMEM((m_dim, 1), jnp.float32),
+            pltpu.VMEM((m_dim, 1), jnp.float32),
+            pltpu.VMEM((m_dim, w), jnp.float32),
+        ],
+    )
+    out = pl.pallas_call(
+        functools.partial(
+            _wide_kernel, block_l=ps, n_kv=n_kv, rep=rep, hd=hd,
+            kv_int8=kv_int8, quantized=quantized, pos_base=1,
+        ),
+        out_shape=jax.ShapeDtypeStruct((s_dim, m_dim, hd), jnp.float32),
+        grid_spec=grid_spec,
+        compiler_params=pltpu.CompilerParams(
+            # both "arbitrary": v5e has one TensorCore, so "parallel" buys
+            # nothing, and a single sequential grid keeps one continuous
+            # double-buffered DMA pipeline across slots
+            dimension_semantics=("arbitrary", "arbitrary"),
+        ),
+        interpret=bool(interpret),
+    )(scalars, qwide, qs, kf, vf, ksr, vsr)
+    return out
+
+
 def _kernel(pos_ref, q_ref, qs_ref, k_ref, v_ref, ks_ref, vs_ref, hmask_ref,
             o_ref, m_ref, l_ref, acc_ref, *, g_kv, block_l, quantized, kv_int8):
     i = pl.program_id(0)

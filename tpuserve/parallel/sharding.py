@@ -156,11 +156,17 @@ def cache_pspec() -> KVCache:
 
 
 def shard_cache(cache: KVCache, mesh: Mesh) -> KVCache:
-    kv = NamedSharding(mesh, P(None, "dp", None, "tp", None))
+    # flat layout folds (Hkv, hd) into W; sharding W over tp is the same
+    # byte partition as sharding Hkv (contiguous head groups per shard)
+    if cache.flat:
+        kv = NamedSharding(mesh, P(None, "dp", None, "tp"))
+    else:
+        kv = NamedSharding(mesh, P(None, "dp", None, "tp", None))
     sc = NamedSharding(mesh, P(None, "dp", None, "tp"))
     return KVCache(
         k=jax.device_put(cache.k, kv),
         v=jax.device_put(cache.v, kv),
         k_scale=None if cache.k_scale is None else jax.device_put(cache.k_scale, sc),
         v_scale=None if cache.v_scale is None else jax.device_put(cache.v_scale, sc),
+        flat=cache.flat,
     )

@@ -212,11 +212,15 @@ class GenerationEngine:
             ps = int(gen.page_size)
             max_pages = -(-self.max_seq_len // ps)
             num_pages = int(gen.num_pages) or self.n_slots * max_pages + 1
-            self.cache = PagedKVCache.create(self.p, num_pages, ps, quantized=quant_kv)
+            self.cache = PagedKVCache.create(
+                self.p, num_pages, ps, quantized=quant_kv,
+                flat=llama.preferred_cache_flat(self.p),
+            )
             self.ptm = PageTableManager(num_pages, ps, self.n_slots, self.max_seq_len)
         else:
             self.cache = KVCache.create(
-                p, self.n_slots, self.max_seq_len, quantized=quant_kv
+                p, self.n_slots, self.max_seq_len, quantized=quant_kv,
+                flat=llama.preferred_cache_flat(p),
             )
             if self.mesh is not None:
                 from tpuserve.parallel.sharding import shard_cache

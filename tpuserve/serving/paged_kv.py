@@ -91,19 +91,27 @@ def make_allocator(num_pages: int, page_size: int):
 @jax.tree_util.register_pytree_node_class
 @dataclasses.dataclass
 class PagedKVCache:
-    """Device-side page pool (see module docstring)."""
+    """Device-side page pool (see module docstring).
 
-    k: jax.Array  # [layers, n_pages, page_size, Hkv, hd]
+    Like llama.KVCache, supports two layouts (``flat`` is pytree aux data):
+    flat=False keeps [layers, n_pages, page_size, Hkv, hd]; flat=True merges
+    the head dims to [layers, n_pages, page_size, W] so the paged Pallas
+    kernel's [n_layers*n_pages*ps, W] pool view is a bitcast (TPU tiling
+    lives on the last two dims — see KVCache docstring for the measured
+    cost of getting this wrong)."""
+
+    k: jax.Array  # [layers, n_pages, page_size, Hkv, hd] or [..., W]
     v: jax.Array
     k_scale: Optional[jax.Array]  # [layers, n_pages, page_size, Hkv]
     v_scale: Optional[jax.Array]
+    flat: bool = False
 
     def tree_flatten(self):
-        return (self.k, self.v, self.k_scale, self.v_scale), ()
+        return (self.k, self.v, self.k_scale, self.v_scale), (self.flat,)
 
     @classmethod
     def tree_unflatten(cls, aux, children):
-        return cls(*children)
+        return cls(*children, flat=aux[0])
 
     @property
     def quantized(self) -> bool:
@@ -126,17 +134,22 @@ class PagedKVCache:
 
     @classmethod
     def create(cls, p: LlamaParams, n_pages: int, page_size: int, quantized: bool,
-               dtype=jnp.bfloat16) -> "PagedKVCache":
-        shape = (p.n_layers, n_pages, page_size, p.n_kv_heads, p.head_dim)
+               dtype=jnp.bfloat16, flat: bool = False) -> "PagedKVCache":
+        if flat:
+            shape = (p.n_layers, n_pages, page_size, p.n_kv_heads * p.head_dim)
+        else:
+            shape = (p.n_layers, n_pages, page_size, p.n_kv_heads, p.head_dim)
+        scale_shape = (p.n_layers, n_pages, page_size, p.n_kv_heads)
         if quantized:
             return cls(
                 k=jnp.zeros(shape, jnp.int8),
                 v=jnp.zeros(shape, jnp.int8),
-                k_scale=jnp.zeros(shape[:-1], jnp.float32),
-                v_scale=jnp.zeros(shape[:-1], jnp.float32),
+                k_scale=jnp.zeros(scale_shape, jnp.float32),
+                v_scale=jnp.zeros(scale_shape, jnp.float32),
+                flat=flat,
             )
         return cls(k=jnp.zeros(shape, dtype), v=jnp.zeros(shape, dtype),
-                   k_scale=None, v_scale=None)
+                   k_scale=None, v_scale=None, flat=flat)
 
 
 class PageTableManager:
