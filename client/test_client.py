@@ -92,10 +92,43 @@ class Client:
             inputs[inp["name"]] = np.random.default_rng(0).normal(size=n).astype(np.float32).tolist()
         return inputs
 
-    def test_inference(self, model: str, status_body: dict):
+    @staticmethod
+    def prepare_image_data(image_path: str, input_shape: list) -> list:
+        """Real-image preprocessing (≙ reference prepare_image_data,
+        client/test_client.py:167-206): RGB load, resize to the model's
+        H x W, /255 normalize, HWC->CHW when the shape is NCHW, flatten."""
+        from PIL import Image
+
+        img = Image.open(image_path).convert("RGB")
+        height, width = 224, 224
+        if len(input_shape) >= 4:
+            height, width = int(input_shape[2]), int(input_shape[3])
+        elif len(input_shape) >= 2:
+            height, width = int(input_shape[0]), int(input_shape[1])
+        img = img.resize((width, height))
+        arr = np.asarray(img, dtype=np.float32) / 255.0
+        if len(input_shape) >= 4 and int(input_shape[1]) == 3:
+            arr = arr.transpose(2, 0, 1)  # HWC -> CHW
+        if len(input_shape) >= 4 and input_shape[0] in (1, -1):
+            arr = arr[None]
+        return arr.flatten().tolist()
+
+    def test_inference(self, model: str, status_body: dict, image: str = ""):
         print(f"== inference: {model} ==")
         config = status_body.get("config", {})
-        payload = {"inputs": self.generate_dummy_data(config)}
+        inputs = self.generate_dummy_data(config)
+        if image:
+            inps = config.get("inputs", [])
+            img_inp = next(
+                (i for i in inps
+                 if len(i["shape"]) == 4 and 3 in (i["shape"][1], i["shape"][3])),
+                None,
+            )
+            self.check(img_inp is not None, "model has an image-shaped input")
+            if img_inp is not None:
+                inputs[img_inp["name"]] = self.prepare_image_data(image, img_inp["shape"])
+                print(f"  image '{image}' -> input '{img_inp['name']}'")
+        payload = {"inputs": inputs}
         r = requests.post(f"{self.base}/models/{model}/infer", json=payload, timeout=300)
         self.check(r.status_code == 200, f"infer -> {r.status_code}: {r.text[:200]}")
         if r.status_code == 200:
@@ -168,6 +201,9 @@ def main():
     p = argparse.ArgumentParser()
     p.add_argument("--url", default="http://localhost:8080")
     p.add_argument("--model", default="test_model")
+    p.add_argument("--image", default="",
+                   help="path to an image file; preprocessed (resize, "
+                        "normalize, NCHW) and fed to the model's image input")
     args = p.parse_args()
 
     c = Client(args.url)
@@ -176,7 +212,7 @@ def main():
     models = c.test_list_models()
     model = args.model if args.model in models or not models else models[0]
     status = c.test_model_lifecycle(model)
-    c.test_inference(model, status)
+    c.test_inference(model, status, image=args.image)
     c.test_generate(model, status)
     c.test_error_paths(model)
     c.test_stats_and_metrics(model)

@@ -1,0 +1,123 @@
+#!/usr/bin/env python3
+"""Interleaved in-process A/B of decode-attention implementations.
+
+The relay chip's deliverable bandwidth drifts 136-300 GB/s across minutes
+(see scripts/peak_bw.py), so separate bench processes cannot resolve a
+few-percent kernel difference. This harness compiles every mode ONCE in a
+single process (each with its preferred cache layout) and then interleaves
+timed multi-step dispatches round-robin — every round samples all modes
+under the same weather, and per-round ratios are drift-free.
+
+Usage:
+  python scripts/ab_decode.py                 # default: xla, pallas128, pallas256
+  TPUSERVE_AB_MODES=xla,pallas64 TPUSERVE_AB_ROUNDS=6 python scripts/ab_decode.py
+"""
+
+import os
+import sys
+import time
+
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/root/repo/.jax_cache")
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from tpuserve.models import llama
+from tpuserve.models.llama import KVCache, LlamaParams
+from tpuserve.models.llama_bench import init_quantized_params
+
+MODELS = {"llama2_7b": LlamaParams.llama2_7b()}
+
+
+def main():
+    jax.config.update("jax_compilation_cache_dir", os.environ["JAX_COMPILATION_CACHE_DIR"])
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+    p = MODELS[os.environ.get("TPUSERVE_AB_MODEL", "llama2_7b")]
+    n_slots = int(os.environ.get("TPUSERVE_AB_SLOTS", "64"))
+    max_len = int(os.environ.get("TPUSERVE_AB_SEQ", "256"))
+    inner = int(os.environ.get("TPUSERVE_AB_INNER", "8"))
+    rounds = int(os.environ.get("TPUSERVE_AB_ROUNDS", "6"))
+    mode_names = os.environ.get("TPUSERVE_AB_MODES", "xla,pallas128,pallas256").split(",")
+
+    params = init_quantized_params(jax.random.PRNGKey(0), p, bits=4, group_size=128)
+    params = jax.device_put(params)
+    jax.block_until_ready(jax.tree_util.tree_leaves(params))
+    print(f"# weights up", file=sys.stderr, flush=True)
+
+    def multistep(params, tokens, cache, positions):
+        def body(carry, _):
+            toks, cache, pos = carry
+            logits, cache = llama.decode_step(params, p, toks, cache, pos)
+            toks = jnp.argmax(logits, axis=-1).astype(jnp.int32)
+            return (toks, cache, pos + 1), toks
+
+        (tokens, cache, positions), out = jax.lax.scan(
+            body, (tokens, cache, positions), None, length=inner)
+        return tokens, cache, positions, out
+
+    rng = np.random.default_rng(0)
+    pos0 = rng.integers(64, max_len - inner * (rounds + 2) - 2, n_slots).astype(np.int32)
+
+    states = {}
+    for name in mode_names:
+        if name == "xla":
+            env = {"TPUSERVE_DECODE_ATTN": "xla"}
+            flat = False
+        else:
+            spec = name.replace("pallas", "")
+            skip = "1"
+            if spec.endswith("ns"):  # "pallas128ns" = no dyn skip
+                spec, skip = spec[:-2], "0"
+            env = {"TPUSERVE_DECODE_ATTN": "pallas",
+                   "TPUSERVE_ATTN_BLOCK_L": spec or "64",
+                   "TPUSERVE_ATTN_DYNSKIP": skip}
+            flat = True
+        saved = {k: os.environ.get(k) for k in env}
+        os.environ.update(env)
+        try:
+            cache = KVCache.create(p, n_slots, max_len, quantized=True, flat=flat)
+            tokens = jnp.zeros((n_slots,), jnp.int32)
+            positions = jnp.asarray(pos0)
+            fn = jax.jit(multistep, donate_argnums=(2,))
+            t0 = time.time()
+            tokens, cache, positions, _ = fn(params, tokens, cache, positions)
+            np.asarray(tokens)
+            print(f"# {name}: compiled+warm in {time.time()-t0:.0f}s",
+                  file=sys.stderr, flush=True)
+            states[name] = [fn, tokens, cache, positions, []]
+        finally:
+            for k, v in saved.items():
+                if v is None:
+                    os.environ.pop(k, None)
+                else:
+                    os.environ[k] = v
+
+    for r in range(rounds):
+        line = [f"round {r}:"]
+        for name in mode_names:
+            fn, tokens, cache, positions, times = states[name]
+            t0 = time.perf_counter()
+            tokens, cache, positions, _ = fn(params, tokens, cache, positions)
+            np.asarray(tokens)
+            dt = (time.perf_counter() - t0) / inner
+            times.append(dt)
+            states[name][1:4] = [tokens, cache, positions]
+            line.append(f"{name} {dt*1e3:6.2f}ms")
+        print(" ".join(line), flush=True)
+
+    print("\n# summary (best / median ms per step; ratio vs first mode)")
+    base = None
+    for name in mode_names:
+        times = sorted(states[name][4])
+        best, med = times[0], times[len(times) // 2]
+        if base is None:
+            base = best
+        print(f"{name:10s} best {best*1e3:6.2f}  med {med*1e3:6.2f}  "
+              f"ratio {best/base:5.3f}", flush=True)
+
+
+if __name__ == "__main__":
+    main()

@@ -104,38 +104,69 @@ _NEG_INF = -1e30
 # no per-layer slice/reshape and one Mosaic compile serves every layer.
 
 
+def _subtile(tile, j, block_l, sc_block):
+    """Select the [M, block_l] lane subtile of a [M, sc_block] scale tile
+    for L-block j. Mosaic requires block lane widths divisible by 128 (or
+    full-array), so when block_l < 128 the scale BlockSpec fetches a
+    128-wide tile covering r = sc_block//block_l consecutive L-blocks and
+    the kernel picks its slice with static slices + selects (no dynamic
+    VMEM offsets)."""
+    r = sc_block // block_l
+    if r <= 1:
+        return tile
+    sub = j % r
+    out = tile[:, 0:block_l]
+    for t in range(1, r):
+        out = jnp.where(sub == t, tile[:, t * block_l:(t + 1) * block_l], out)
+    return out
+
+
 def _wide_kernel(pos_ref, qw_ref, qs_ref, k_ref, v_ref, ks_ref, vs_ref,
-                 o_ref, m_ref, l_ref, acc_ref, *, block_l, n_kv, rep, hd,
-                 kv_int8, quantized, pos_base=0):
+                 o_ref, m_ref, l_ref, acc_ref, qw_scr_ref=None, *, block_l,
+                 n_kv, rep, hd, kv_int8, quantized, pos_base=0, sc_block=None,
+                 inline_qw=False):
     i = pl.program_id(0)
     j = pl.program_id(1)
     pos = pos_ref[pos_base + i]
-    m_dim = qw_ref.shape[0]
+    m_dim = qw_ref.shape[-2]
+    if sc_block is None:
+        sc_block = block_l
 
     @pl.when(j == 0)
     def _():
         m_ref[:] = jnp.full_like(m_ref, _NEG_INF)
         l_ref[:] = jnp.zeros_like(l_ref)
         acc_ref[:] = jnp.zeros_like(acc_ref)
+        if inline_qw:
+            # build Q_wide in VMEM from the compact [M, hd] q block: row m
+            # occupies kv-head (m // rep)'s lane slice, zeros elsewhere —
+            # n_kv static [M, hd] selects, once per slot, instead of an
+            # 8-MB/layer HBM round-trip through a prebuilt Q_wide
+            qv = qw_ref[0]                    # [M, hd]
+            row_h = jax.lax.broadcasted_iota(jnp.int32, (m_dim, hd), 0) // rep
+            zero = jnp.zeros((m_dim, hd), qv.dtype)
+            for h in range(n_kv):
+                qw_scr_ref[:, h * hd:(h + 1) * hd] = jnp.where(row_h == h, qv, zero)
 
     # skip L blocks wholly past this slot's live length (covers inactive
     # slots too: pos < 0 masks everything)
     @pl.when(j * block_l <= pos)
     def _compute():
+        qw = qw_scr_ref[...] if inline_qw else qw_ref[...]  # [M, W]
         kb = k_ref[...]                       # [bl, W] int8 (or bf16/f32)
         if kv_int8:
             s = jax.lax.dot_general(
-                qw_ref[...], kb, (((1,), (1,)), ((), ())),
+                qw, kb, (((1,), (1,)), ((), ())),
                 preferred_element_type=jnp.int32,
             ).astype(jnp.float32)             # [M, bl] via int8 MXU
-            s = s * qs_ref[0] * ks_ref[...]   # [M,1] row x [M,bl] elementwise
+            s = s * qs_ref[0] * _subtile(ks_ref[...], j, block_l, sc_block)
         else:
             s = jax.lax.dot_general(
-                qw_ref[...].astype(jnp.float32), kb.astype(jnp.float32),
+                qw.astype(jnp.float32), kb.astype(jnp.float32),
                 (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32,
             )
             if quantized:
-                s = s * ks_ref[...]
+                s = s * _subtile(ks_ref[...], j, block_l, sc_block)
 
         # causal/liveness mask over lanes (positions)
         lpos = jax.lax.broadcasted_iota(jnp.int32, (1, block_l), 1) + j * block_l
@@ -150,7 +181,8 @@ def _wide_kernel(pos_ref, qw_ref, qs_ref, k_ref, v_ref, ks_ref, vs_ref,
         m_ref[:, 0:1] = m_new
 
         if quantized:
-            p = p * vs_ref[...]               # V dequant folded at O(M*bl)
+            # V dequant folded at O(M*bl)
+            p = p * _subtile(vs_ref[...], j, block_l, sc_block)
         vb = v_ref[...]
         if kv_int8:
             # quantize P rows to int8 (SageAttention2-style) so P@V runs on
@@ -191,30 +223,20 @@ def _wide_kernel(pos_ref, qw_ref, qs_ref, k_ref, v_ref, ks_ref, vs_ref,
         o_ref[0] = jnp.where(l_all > 0, out / jnp.maximum(l_all, 1e-20), 0.0)
 
 
-def _prep_wide(q, k_dtype, k_scale, v_scale, *, rep, n_kv, kv_int8,
-               quantized, l_win):
-    """Shared host-side prep for the wide kernel: build Q_wide [S*M, W] (one
-    one-hot multiply, XLA fuses it to a single 8-MB/layer write at 7B
-    shapes), per-head q scales [S, M, 1], and K/V scale rows [S*M, l_win]
-    matching the kernel's [M, bl] score orientation."""
-    s_dim, n_heads, hd = q.shape
-    w = n_kv * hd
-    m_dim = n_heads
-    onehot = (jnp.arange(n_heads)[:, None] // rep
-              == jnp.arange(n_kv)[None, :]).astype(jnp.float32)
+def _prep_q_compact(q, k_dtype, kv_int8):
+    """q [S, M, hd] -> kernel-dtype q (int8-quantized when the KV cache is
+    int8) + per-head scales [S, M, 1]."""
+    s_dim, n_heads, _ = q.shape
     if kv_int8:
-        qi, qs = _quantize_q(q)               # int8 [S, M, hd], f32 [S, M, 1]
-        qwide = (qi.astype(jnp.int32)[:, :, None, :]
-                 * onehot.astype(jnp.int32)[None, :, :, None]).astype(jnp.int8)
-    else:
-        qf = q.astype(jnp.float32)
-        qwide = (qf[:, :, None, :] * onehot[None, :, :, None]).astype(
-            jnp.bfloat16 if k_dtype != jnp.float32 else jnp.float32)
-        qs = jnp.zeros((s_dim, n_heads, 1), jnp.float32)
-    qwide = qwide.reshape(s_dim * n_heads, w)
+        return _quantize_q(q)                 # int8 [S, M, hd], f32 [S, M, 1]
+    qf = q.astype(jnp.bfloat16 if k_dtype != jnp.float32 else jnp.float32)
+    return qf, jnp.zeros((s_dim, n_heads, 1), jnp.float32)
 
+
+def _prep_scales(k_scale, v_scale, *, s_dim, m_dim, rep, quantized, l_win):
+    """K/V scale rows [S*M, l_win] matching the kernel's [M, bl] score
+    orientation ([S, l_win, Hkv] -> repeat to query heads -> transpose)."""
     if quantized:
-        # [S, l_win, Hkv] -> repeat to H query heads -> [S*M, l_win] rows
         ksr = jnp.repeat(k_scale, rep, axis=2).transpose(0, 2, 1) \
             .reshape(s_dim * m_dim, l_win)
         vsr = jnp.repeat(v_scale, rep, axis=2).transpose(0, 2, 1) \
@@ -222,7 +244,44 @@ def _prep_wide(q, k_dtype, k_scale, v_scale, *, rep, n_kv, kv_int8,
     else:
         ksr = jnp.zeros((s_dim * m_dim, 1), jnp.float32)
         vsr = ksr
+    return ksr, vsr
+
+
+def _prep_wide(q, k_dtype, k_scale, v_scale, *, rep, n_kv, kv_int8,
+               quantized, l_win):
+    """Host-side prep for the standalone wide kernels: prebuilt Q_wide
+    [S*M, W] (one one-hot multiply), q scales, and K/V scale rows. The
+    cache kernel builds Q_wide in VMEM instead (inline_qw) to skip the
+    8-MB/layer HBM round-trip."""
+    s_dim, n_heads, hd = q.shape
+    w = n_kv * hd
+    m_dim = n_heads
+    onehot = (jnp.arange(n_heads)[:, None] // rep
+              == jnp.arange(n_kv)[None, :]).astype(jnp.float32)
+    qc, qs = _prep_q_compact(q, k_dtype, kv_int8)
+    if kv_int8:
+        qwide = (qc.astype(jnp.int32)[:, :, None, :]
+                 * onehot.astype(jnp.int32)[None, :, :, None]).astype(jnp.int8)
+    else:
+        qwide = (qc.astype(jnp.float32)[:, :, None, :]
+                 * onehot[None, :, :, None]).astype(qc.dtype)
+    qwide = qwide.reshape(s_dim * n_heads, w)
+    ksr, vsr = _prep_scales(k_scale, v_scale, s_dim=s_dim, m_dim=m_dim,
+                            rep=rep, quantized=quantized, l_win=l_win)
     return qwide, qs, ksr, vsr
+
+
+def _scale_block(block_l: int, win: int, quantized: bool) -> int:
+    """Lane width of the K/V-scale BlockSpec tiles: Mosaic requires block
+    lane dims divisible by 128 (or the full array width), so grow the scale
+    tile to cover several L-blocks when block_l < 128; the kernel selects
+    the live subtile (_subtile)."""
+    if not quantized:
+        return block_l
+    sc = block_l
+    while sc < 128 and sc * 2 <= win and win % (sc * 2) == 0:
+        sc *= 2
+    return sc
 
 
 def decode_attention_wide(
@@ -257,6 +316,8 @@ def decode_attention_wide(
     while l_max % block_l != 0:
         block_l //= 2
     n_blocks = l_max // block_l
+    sc_block = _scale_block(block_l, l_max, quantized)
+    scr = sc_block // block_l
 
     qwide, qs, ksr, vsr = _prep_wide(
         q, k.dtype, k_scale, v_scale, rep=rep, n_kv=n_kv, kv_int8=kv_int8,
@@ -279,12 +340,12 @@ def decode_attention_wide(
                          memory_space=pltpu.VMEM),           # K flat
             pl.BlockSpec((block_l, w), lambda i, j, *_: (i * lpb + j, 0),
                          memory_space=pltpu.VMEM),           # V flat
-            pl.BlockSpec((m_dim, block_l if quantized else 1),
-                         (lambda i, j, *_: (i, j)) if quantized
+            pl.BlockSpec((m_dim, sc_block if quantized else 1),
+                         (lambda i, j, *_: (i, j // scr)) if quantized
                          else (lambda i, j, *_: (i, 0)),
-                         memory_space=pltpu.VMEM),           # K scales [M, bl]
-            pl.BlockSpec((m_dim, block_l if quantized else 1),
-                         (lambda i, j, *_: (i, j)) if quantized
+                         memory_space=pltpu.VMEM),           # K scales [M, sc]
+            pl.BlockSpec((m_dim, sc_block if quantized else 1),
+                         (lambda i, j, *_: (i, j // scr)) if quantized
                          else (lambda i, j, *_: (i, 0)),
                          memory_space=pltpu.VMEM),           # V scales
         ],
@@ -299,7 +360,7 @@ def decode_attention_wide(
     out = pl.pallas_call(
         functools.partial(
             _wide_kernel, block_l=block_l, n_kv=n_kv, rep=rep, hd=hd,
-            kv_int8=kv_int8, quantized=quantized,
+            kv_int8=kv_int8, quantized=quantized, sc_block=sc_block,
         ),
         out_shape=jax.ShapeDtypeStruct((s_dim, m_dim, hd), jnp.float32),
         grid_spec=grid_spec,
@@ -376,13 +437,15 @@ def decode_attention_wide_cache(
     assert l_max % block_l == 0, (l_max, block_l)
     n_blocks = win // block_l
     lpbf = l_max // block_l  # L blocks per slot in the FULL flat view
+    sc_block = _scale_block(block_l, win, quantized)
+    scr = sc_block // block_l
 
     if quantized:
         k_scale_l = k_scale_l[:, :win]
         v_scale_l = v_scale_l[:, :win]
-    qwide, qs, ksr, vsr = _prep_wide(
-        q, k_full.dtype, k_scale_l, v_scale_l, rep=rep, n_kv=n_kv,
-        kv_int8=kv_int8, quantized=quantized, l_win=win)
+    qc, qs = _prep_q_compact(q, k_full.dtype, kv_int8)
+    ksr, vsr = _prep_scales(k_scale_l, v_scale_l, s_dim=s_dim, m_dim=m_dim,
+                            rep=rep, quantized=quantized, l_win=win)
 
     kf = k_full.reshape(n_layers * s_dim * l_max, w)
     vf = v_full.reshape(n_layers * s_dim * l_max, w)
@@ -414,24 +477,24 @@ def decode_attention_wide_cache(
             return (i, 0)
         if dyn_skip:
             live = jnp.maximum(sref[1 + i], 0) // block_l
-            return (i, jnp.minimum(j, live))
-        return (i, j)
+            return (i, jnp.minimum(j, live) // scr)
+        return (i, j // scr)
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=(s_dim, n_blocks),
         in_specs=[
-            pl.BlockSpec((m_dim, w), lambda i, j, *_: (i, 0),
-                         memory_space=pltpu.VMEM),           # Q_wide rows
+            pl.BlockSpec((1, m_dim, hd), lambda i, j, *_: (i, 0, 0),
+                         memory_space=pltpu.VMEM),           # q compact
             pl.BlockSpec((1, m_dim, 1), lambda i, j, *_: (i, 0, 0),
                          memory_space=pltpu.VMEM),           # q scales
             pl.BlockSpec((block_l, w), kv_index,
                          memory_space=pltpu.VMEM),           # K flat (layer off)
             pl.BlockSpec((block_l, w), kv_index,
                          memory_space=pltpu.VMEM),           # V flat
-            pl.BlockSpec((m_dim, block_l if quantized else 1), sc_index,
-                         memory_space=pltpu.VMEM),           # K scales [M, bl]
-            pl.BlockSpec((m_dim, block_l if quantized else 1), sc_index,
+            pl.BlockSpec((m_dim, sc_block if quantized else 1), sc_index,
+                         memory_space=pltpu.VMEM),           # K scales [M, sc]
+            pl.BlockSpec((m_dim, sc_block if quantized else 1), sc_index,
                          memory_space=pltpu.VMEM),           # V scales
         ],
         out_specs=pl.BlockSpec((1, m_dim, hd), lambda i, j, *_: (i, 0, 0),
@@ -440,12 +503,14 @@ def decode_attention_wide_cache(
             pltpu.VMEM((m_dim, 1), jnp.float32),   # running max
             pltpu.VMEM((m_dim, 1), jnp.float32),   # running sum
             pltpu.VMEM((m_dim, w), jnp.float32),   # O_wide accumulator
+            pltpu.VMEM((m_dim, w), qc.dtype),      # in-VMEM Q_wide
         ],
     )
     out = pl.pallas_call(
         functools.partial(
             _wide_kernel, block_l=block_l, n_kv=n_kv, rep=rep, hd=hd,
             kv_int8=kv_int8, quantized=quantized, pos_base=1,
+            sc_block=sc_block, inline_qw=True,
         ),
         out_shape=jax.ShapeDtypeStruct((s_dim, m_dim, hd), jnp.float32),
         grid_spec=grid_spec,
@@ -456,19 +521,20 @@ def decode_attention_wide_cache(
             dimension_semantics=("arbitrary", "arbitrary"),
         ),
         interpret=bool(interpret),
-    )(scalars, qwide, qs, kf, vf, ksr, vsr)
+    )(scalars, qc, qs, kf, vf, ksr, vsr)
     return out
 
 
-def _paged_sc_index(s_dim, ps, quantized):
+def _paged_sc_index(s_dim, ps, sc_block, quantized):
     """Scale-row index map for the paged kernel: follows the same live-page
     clamp as the KV blocks so dead-tail scale DMAs are elided too."""
     if not quantized:
         return lambda i, j, *_: (i, 0)
+    scr = sc_block // ps
 
     def sc_index(i, j, sref):
         live = jnp.maximum(sref[1 + i], 0) // ps
-        return (i, jnp.minimum(j, live))
+        return (i, jnp.minimum(j, live) // scr)
 
     return sc_index
 
@@ -527,10 +593,13 @@ def decode_attention_wide_paged(
     n_blocks = win // ps
     quantized = k_scale_l is not None
     kv_int8 = bool(quantized) and k_pool.dtype == jnp.int8
+    sc_block = _scale_block(ps, win, quantized)
 
-    qwide, qs, ksr, vsr = _prep_wide(
-        q, k_pool.dtype, k_scale_l, v_scale_l, rep=rep, n_kv=n_kv,
-        kv_int8=kv_int8, quantized=quantized, l_win=win)
+    qc, qs = _prep_q_compact(q, k_pool.dtype, kv_int8)
+    ksr, vsr = _prep_scales(
+        k_scale_l[:, :win] if quantized else None,
+        v_scale_l[:, :win] if quantized else None,
+        s_dim=s_dim, m_dim=m_dim, rep=rep, quantized=quantized, l_win=win)
 
     kf = k_pool.reshape(n_layers * n_pages * ps, w)
     vf = v_pool.reshape(n_layers * n_pages * ps, w)
@@ -551,15 +620,17 @@ def decode_attention_wide_paged(
         num_scalar_prefetch=1,
         grid=(s_dim, n_blocks),
         in_specs=[
-            pl.BlockSpec((m_dim, w), lambda i, j, *_: (i, 0),
-                         memory_space=pltpu.VMEM),           # Q_wide rows
+            pl.BlockSpec((1, m_dim, hd), lambda i, j, *_: (i, 0, 0),
+                         memory_space=pltpu.VMEM),           # q compact
             pl.BlockSpec((1, m_dim, 1), lambda i, j, *_: (i, 0, 0),
                          memory_space=pltpu.VMEM),           # q scales
             pl.BlockSpec((ps, w), kv_index, memory_space=pltpu.VMEM),
             pl.BlockSpec((ps, w), kv_index, memory_space=pltpu.VMEM),
-            pl.BlockSpec((m_dim, ps if quantized else 1), _paged_sc_index(s_dim, ps, quantized),
-                         memory_space=pltpu.VMEM),           # K scales [M, ps]
-            pl.BlockSpec((m_dim, ps if quantized else 1), _paged_sc_index(s_dim, ps, quantized),
+            pl.BlockSpec((m_dim, sc_block if quantized else 1),
+                         _paged_sc_index(s_dim, ps, sc_block, quantized),
+                         memory_space=pltpu.VMEM),           # K scales [M, sc]
+            pl.BlockSpec((m_dim, sc_block if quantized else 1),
+                         _paged_sc_index(s_dim, ps, sc_block, quantized),
                          memory_space=pltpu.VMEM),           # V scales
         ],
         out_specs=pl.BlockSpec((1, m_dim, hd), lambda i, j, *_: (i, 0, 0),
@@ -568,12 +639,14 @@ def decode_attention_wide_paged(
             pltpu.VMEM((m_dim, 1), jnp.float32),
             pltpu.VMEM((m_dim, 1), jnp.float32),
             pltpu.VMEM((m_dim, w), jnp.float32),
+            pltpu.VMEM((m_dim, w), qc.dtype),      # in-VMEM Q_wide
         ],
     )
     out = pl.pallas_call(
         functools.partial(
             _wide_kernel, block_l=ps, n_kv=n_kv, rep=rep, hd=hd,
             kv_int8=kv_int8, quantized=quantized, pos_base=1,
+            sc_block=sc_block, inline_qw=True,
         ),
         out_shape=jax.ShapeDtypeStruct((s_dim, m_dim, hd), jnp.float32),
         grid_spec=grid_spec,
@@ -584,7 +657,7 @@ def decode_attention_wide_paged(
             dimension_semantics=("arbitrary", "arbitrary"),
         ),
         interpret=bool(interpret),
-    )(scalars, qwide, qs, kf, vf, ksr, vsr)
+    )(scalars, qc, qs, kf, vf, ksr, vsr)
     return out
 
 

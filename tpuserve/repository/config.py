@@ -125,6 +125,12 @@ class GenerationConfig:
     # many tokens, one chunk between decode steps, so a long admission
     # cannot freeze the decode batch. 0 = off (whole-bucket prefill).
     prefill_chunk: int = 0
+    # Fused decode horizon: when no admissions are pending, run up to this
+    # many decode+sample steps inside ONE device dispatch (lax.scan) —
+    # host round-trips cost ~4 ms each on remote-device setups, a large
+    # fraction of a ~30 ms step. Tokens then stream in bursts of up to
+    # this size; 1 = one step per dispatch (lowest latency).
+    decode_horizon: int = 4
     eos_token_id: int = 2
     temperature: float = 0.0
     top_k: int = 0

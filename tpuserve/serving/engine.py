@@ -89,6 +89,7 @@ class GenerationEngine:
         self.mesh = None  # jax Mesh when config.sharding > 1x1
         self._prefill_jit = None
         self._decode_jit = None
+        self._decode_multi_jit = None
         self._sample_jit = None
         self._param_bytes = 0
 
@@ -240,6 +241,27 @@ class GenerationEngine:
                     params, p, tokens, cache, table, positions, window=window
                 )
                 return sample(logits, sampling, key), cache
+
+            def decode_multi_fn(params, tokens, cache, table, positions,
+                                sampling, key, window, horizon):
+                """`horizon` fused decode+sample steps in one dispatch (see
+                GenerationConfig.decode_horizon). Inactive slots stay at
+                position -1 across the scan."""
+
+                def body(carry, _):
+                    toks, cache, pos, key = carry
+                    key, sub = jax.random.split(key)
+                    logits, cache = llama.decode_step_paged(
+                        params, p, toks, cache, table, pos, window=window
+                    )
+                    toks = sample(logits, sampling, sub)
+                    pos = jnp.where(pos >= 0, pos + 1, pos)
+                    return (toks, cache, pos, key), toks
+
+                (_, cache, _, _), out = jax.lax.scan(
+                    body, (tokens, cache, positions, key), None, length=horizon
+                )
+                return out, cache
         else:
 
             def prefill_fn(params, tokens, cache, slot, length):
@@ -255,6 +277,26 @@ class GenerationEngine:
                 )
                 return sample(logits, sampling, key), cache
 
+            def decode_multi_fn(params, tokens, cache, positions, sampling,
+                                key, window, horizon):
+                """`horizon` fused decode+sample steps in one dispatch (see
+                GenerationConfig.decode_horizon)."""
+
+                def body(carry, _):
+                    toks, cache, pos, key = carry
+                    key, sub = jax.random.split(key)
+                    logits, cache = llama.decode_step(
+                        params, p, toks, cache, pos, window=window
+                    )
+                    toks = sample(logits, sampling, sub)
+                    pos = jnp.where(pos >= 0, pos + 1, pos)
+                    return (toks, cache, pos, key), toks
+
+                (_, cache, _, _), out = jax.lax.scan(
+                    body, (tokens, cache, positions, key), None, length=horizon
+                )
+                return out, cache
+
             def prefill_chunk_fn(params, tokens, cache, slot, start, length, window):
                 return llama.prefill_chunk(
                     params, p, tokens, cache, slot, start, length, window=window
@@ -266,6 +308,9 @@ class GenerationEngine:
 
         self._prefill_jit = jax.jit(prefill_fn, donate_argnums=(2,))
         self._decode_jit = jax.jit(decode_fn, donate_argnums=(2,), static_argnames=("window",))
+        self._decode_multi_jit = jax.jit(
+            decode_multi_fn, donate_argnums=(2,), static_argnames=("window", "horizon")
+        )
         self._sample_jit = jax.jit(sample)
 
         self._running = True
@@ -588,6 +633,20 @@ class GenerationEngine:
                         active.remove(i)
                 if not active:
                     continue
+            # fused horizon: when nothing is waiting to be admitted, run up
+            # to decode_horizon steps in one dispatch — host round-trips
+            # cost ~4 ms each, a large fraction of a decode step. Bounded
+            # by each slot's remaining budget and the sequence capacity so
+            # the scan never writes past either.
+            max_pos = max(positions[i] for i in active)
+            horizon = 1
+            h_cfg = int(getattr(self.config.generation, "decode_horizon", 1) or 1)
+            if h_cfg > 1 and self._pending.empty() and self._chunking is None \
+                    and not any(self._slots[i].request.aborted for i in active):
+                rem = min(self._slots[i].request.max_new_tokens
+                          - self._slots[i].generated for i in active)
+                cap = self.max_seq_len - 1 - max_pos
+                horizon = max(1, min(h_cfg, rem, cap))
             # static KV window: smallest bucket covering every live position
             # (decode is KV-read bound; short contexts read proportionally
             # less HBM). Costs one decode compile per bucket, so it is
@@ -595,36 +654,33 @@ class GenerationEngine:
             window = self.max_seq_len
             n_buckets = int(self.config.generation.decode_buckets)
             if n_buckets > 0:
-                max_pos = max(positions[i] for i in active)
+                last_pos = max_pos + horizon - 1  # last position the scan writes
                 smallest = max(64, self.max_seq_len >> n_buckets)
                 window = smallest
-                while window <= max_pos:
+                while window <= last_pos:
                     window *= 2
                 window = min(window, self.max_seq_len)
+            if self.ptm is not None and horizon > 1:
+                # page chains must cover every position the horizon writes
+                for i in active:
+                    try:
+                        self.ptm.ensure(i, self._slots[i].next_pos + horizon)
+                    except Exception:
+                        horizon = 1
+                        break
             try:
                 self._key, sub = jax.random.split(self._key)
+                args = [self.params, jnp.asarray(tokens), self.cache]
                 if self.ptm is not None:
-                    next_dev, self.cache = self._decode_jit(
-                        self.params,
-                        jnp.asarray(tokens),
-                        self.cache,
-                        self.ptm.device_table(),
-                        jnp.asarray(positions),
-                        self._sampling,
-                        sub,
-                        window=window,
-                    )
+                    args.append(self.ptm.device_table())
+                args += [jnp.asarray(positions), self._sampling, sub]
+                if horizon > 1:
+                    toks_dev, self.cache = self._decode_multi_jit(
+                        *args, window=window, horizon=horizon)
+                    step_tokens = np.asarray(toks_dev)  # [H, S]
                 else:
-                    next_dev, self.cache = self._decode_jit(
-                        self.params,
-                        jnp.asarray(tokens),
-                        self.cache,
-                        jnp.asarray(positions),
-                        self._sampling,
-                        sub,
-                        window=window,
-                    )
-                next_tokens = np.asarray(next_dev)
+                    next_dev, self.cache = self._decode_jit(*args, window=window)
+                    step_tokens = np.asarray(next_dev)[None]  # [1, S]
             except Exception as e:
                 for i in active:
                     st = self._slots[i]
@@ -633,14 +689,21 @@ class GenerationEngine:
                     st.request.done.set()
                     self._slots[i] = None
                 continue
-            self.steps += 1
-            for i in active:
-                st = self._slots[i]
-                st.next_pos += 1
-                st.generated += 1
-                st.last_token = int(next_tokens[i])
-                self._emit(st.request, st.last_token)
-                if self._retire_if_done(st):
-                    self._slots[i] = None
-                    if self.ptm is not None:
-                        self.ptm.release(i)
+            self.steps += step_tokens.shape[0]
+            for h in range(step_tokens.shape[0]):
+                for i in list(active):
+                    st = self._slots[i]
+                    if st is None or self._slots[i] is None:
+                        continue
+                    st.next_pos += 1
+                    st.generated += 1
+                    st.last_token = int(step_tokens[h, i])
+                    self._emit(st.request, st.last_token)
+                    if self._retire_if_done(st):
+                        # tokens the scan produced past EOS/limit for this
+                        # slot are discarded; its cache tail is masked by
+                        # position on every future read
+                        self._slots[i] = None
+                        active.remove(i)
+                        if self.ptm is not None:
+                            self.ptm.release(i)
