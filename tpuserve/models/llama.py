@@ -241,16 +241,21 @@ def _write_slot_kv(cache: KVCache, layer, slot, start, kq, vq, ks, vs) -> KVCach
 def _decode_attn_mode(p: "LlamaParams") -> str:
     """Decode-attention implementation (TPUSERVE_DECODE_ATTN):
 
-    - "pallas": the v3 "wide" kernel (ops/decode_attention.py) reading the
-      full cache in place via a scalar-prefetched layer index — lane-major
-      [bl, Hkv*hd] KV blocks, int8 score dot, O(M*bl) softmax state.
-    - "grouped": the r1 head-group kernel (measured slower than XLA on v5e:
-      33 vs 15 ms/step at 7B — minimum-tile MXU dots); kept for sweeps.
-    - "xla": batched-einsum fallback (the r1 default).
+    - "pallas" (DEFAULT on TPU): the v3 "wide" kernel
+      (ops/decode_attention.py) reading the full flat cache in place via a
+      scalar-prefetched layer index — [bl, Hkv*hd] KV blocks, int8 MXU for
+      both the score and P@V dots, in-VMEM Q_wide, per-slot DMA skip.
+      Interleaved A/B vs the XLA einsum path (scripts/ab_decode.py):
+      identical streaming rate at equal bytes (ratio 1.001 at L=256), and
+      14% faster at L=1024 with mixed context lengths because the skip
+      reads only live KV while XLA must read the full static window.
+    - "xla": batched-einsum fallback (the r1 default; CPU always uses it).
+    - "grouped": the r1 head-group kernel (slower: minimum-tile MXU dots);
+      kept for sweeps.
     """
     import os
 
-    mode = os.environ.get("TPUSERVE_DECODE_ATTN", "xla").lower()
+    mode = os.environ.get("TPUSERVE_DECODE_ATTN", "pallas").lower()
     if mode not in ("pallas", "grouped"):
         return "xla"
     if jax.devices()[0].platform != "tpu":

@@ -160,6 +160,13 @@ def _pick_blocks(k: int, n: int, gs: int, bits: int, b: int) -> tuple:
         and (2 * block_n) * w_rows * 2 + b * (2 * block_n) * 4 < 6 * 1024 * 1024
     ):
         block_n *= 2
+    # large-batch (whole-sequence eval/prefill) f32 paths: the scoped-vmem
+    # stack holds the acc scratch plus double-buffered out blocks, all
+    # b x bn x 4 bytes — cap bn so that stays ~12 MB of the 16 MB limit
+    # (b=256 f32 measured 17.4 MB > 16 MB at bn=4096). Serving decode
+    # (b<=128) is unaffected.
+    while block_n > 128 and 3 * b * block_n * 4 >= 10 * 1024 * 1024:
+        block_n //= 2
     return block_n, block_k
 
 
