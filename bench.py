@@ -115,14 +115,14 @@ def main():
         max_pages = -(-max_len // page_size)
         n_pages = n_slots * max_pages + 1
         cache = PagedKVCache.create(p, n_pages, page_size, quantized=True,
-                                    flat=llama.preferred_cache_flat(p))
+                                    flat=llama.preferred_cache_flat(p, max_len))
         ptm = PageTableManager(n_pages, page_size, n_slots, max_len)
         for s in range(n_slots):
             ptm.ensure(s, max_len)
         page_table = ptm.device_table()
     else:
         cache = KVCache.create(p, n_slots, max_len, quantized=True,
-                               flat=llama.preferred_cache_flat(p))
+                               flat=llama.preferred_cache_flat(p, max_len))
     kv_bytes = cache.nbytes
     print(f"# kv cache: {kv_bytes/1e9:.2f} GB", file=sys.stderr)
 

@@ -28,7 +28,12 @@ from tpuserve.models import llama
 from tpuserve.models.llama import KVCache, LlamaParams
 from tpuserve.models.llama_bench import init_quantized_params
 
-MODELS = {"llama2_7b": LlamaParams.llama2_7b()}
+MODELS = {
+    "llama2_7b": LlamaParams.llama2_7b(),
+    "llama3_8b": LlamaParams(vocab_size=128256, dim=4096, n_layers=32,
+                             n_heads=32, n_kv_heads=8, head_dim=128,
+                             ffn_dim=14336, rope_theta=500000.0),
+}
 
 
 def main():

@@ -212,10 +212,23 @@ class KVCache:
                    k_scale=None, v_scale=None, flat=flat)
 
 
-def preferred_cache_flat(p: LlamaParams) -> bool:
+def preferred_cache_flat(p: LlamaParams, max_len: Optional[int] = None) -> bool:
     """Whether caches for this process should use the flat layout (i.e. the
-    wide Pallas decode kernel is active — see KVCache docstring)."""
-    return _decode_attn_mode(p) == "pallas"
+    wide Pallas decode kernel will serve decode — see KVCache docstring).
+
+    Interleaved A/B (scripts/ab_decode.py) found the kernel ties or beats
+    XLA when a slot's KV window is >= ~1 MB of stream per array (7B
+    W=4096: any window; GQA W=1024: windows >= 1024) and loses ~7% below
+    that (DMA blocks too small to hide per-block overhead). The layout
+    choice is made once per model here; decode_step routes to the kernel
+    iff the cache is flat.
+    """
+    if _decode_attn_mode(p) != "pallas":
+        return False
+    w = p.n_kv_heads * p.head_dim
+    if max_len is not None and max_len * w < (1 << 20):
+        return False
+    return True
 
 
 def _write_slot_kv(cache: KVCache, layer, slot, start, kq, vq, ks, vs) -> KVCache:
@@ -570,6 +583,21 @@ def decode_step(params, p: LlamaParams, tokens: jax.Array, cache: KVCache,
 
             attn_mode = _decode_attn_mode(p)
             if attn_mode == "pallas":
+                # kernel only where it pays (see preferred_cache_flat): on
+                # TPU a 5D (non-flat) cache means the layout chooser ruled
+                # the config out — routing it to the kernel anyway would
+                # re-introduce the tile-crossing relayout copies
+                if jax.devices()[0].platform == "tpu" and not new_cache.flat:
+                    attn_mode = "xla"
+                # GSPMD cannot partition a pallas_call: under a live
+                # multi-chip mesh decode attention stays on the XLA path
+                # (KV is dp/tp-sharded, so each shard's window is small)
+                from tpuserve.parallel.sharding import active_mesh
+
+                mesh = active_mesh()
+                if mesh is not None and mesh.devices.size > 1:
+                    attn_mode = "xla"
+            if attn_mode == "pallas":
                 # v3 wide kernel over the cache IN PLACE: no per-layer
                 # [S, win, Hkv, hd] slice copy (that copy is a second full
                 # KV pass), one Mosaic compile shared by all layers via the
@@ -791,7 +819,10 @@ def decode_step_paged(params, p: LlamaParams, tokens: jax.Array, cache,
             else:
                 k_scale = v_scale = None
 
-            if _decode_attn_mode(p) == "pallas" and ps % 8 == 0:
+            use_kernel = _decode_attn_mode(p) == "pallas" and ps % 8 == 0
+            if use_kernel and jax.devices()[0].platform == "tpu" and not new_cache.flat:
+                use_kernel = False  # see decode_step: 5D + pallas = relayout copies
+            if use_kernel:
                 # paged wide kernel: page indirection rides the scalar-
                 # prefetch channel; pages stream from the pool IN PLACE —
                 # no [S, P, ps, ...] gather pass (the XLA path's documented

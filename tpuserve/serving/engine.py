@@ -215,13 +215,14 @@ class GenerationEngine:
             num_pages = int(gen.num_pages) or self.n_slots * max_pages + 1
             self.cache = PagedKVCache.create(
                 self.p, num_pages, ps, quantized=quant_kv,
-                flat=llama.preferred_cache_flat(self.p),
+                flat=llama.preferred_cache_flat(self.p, self.max_seq_len),
             )
             self.ptm = PageTableManager(num_pages, ps, self.n_slots, self.max_seq_len)
         else:
             self.cache = KVCache.create(
                 p, self.n_slots, self.max_seq_len, quantized=quant_kv,
-                flat=llama.preferred_cache_flat(p),
+                flat=(llama.preferred_cache_flat(p, self.max_seq_len)
+                      and self.mesh is None),
             )
             if self.mesh is not None:
                 from tpuserve.parallel.sharding import shard_cache
