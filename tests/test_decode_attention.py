@@ -165,6 +165,31 @@ def test_wide_cache_layer_offset(rng, quantized, layer):
     np.testing.assert_allclose(out, ref, **tol)
 
 
+@pytest.mark.parametrize("quantized", [True, False])
+def test_wide_cache_packed_slots(quantized):
+    """Sub-MB windows pack multiple slots per KV block (_packed_kernel);
+    cross-slot scores must be masked and results must match the per-slot
+    reference, including an inactive slot inside a packed group. Local rng:
+    the int8 P-requant tolerance is tight enough that the shared session
+    stream makes it order-dependent."""
+    rng = np.random.default_rng(11)
+    s, l = 4, 64
+    q, k, v, ks, vs, _ = _setup(rng, s=s, l=l, quantized=quantized)
+    positions = np.array([5, -1, l - 1, 17], np.int32)
+    out = np.asarray(
+        decode_attention_wide_cache(
+            jnp.asarray(q), jnp.asarray(k)[None], jnp.asarray(v)[None],
+            None if ks is None else jnp.asarray(ks),
+            None if vs is None else jnp.asarray(vs),
+            jnp.asarray(positions), 0, interpret=True,
+        )
+    )
+    ref = _reference(q, k, v, ks, vs, positions)
+    tol = dict(rtol=5e-2, atol=1e-2) if quantized else dict(rtol=2e-2, atol=2e-3)
+    np.testing.assert_allclose(out, ref, **tol)
+    assert np.all(out[1] == 0.0)
+
+
 def test_wide_cache_window(rng):
     """window=32 on an L=64 cache must equal the full read when every live
     position is below 32."""

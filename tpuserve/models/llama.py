@@ -216,19 +216,19 @@ def preferred_cache_flat(p: LlamaParams, max_len: Optional[int] = None) -> bool:
     """Whether caches for this process should use the flat layout (i.e. the
     wide Pallas decode kernel will serve decode — see KVCache docstring).
 
-    Interleaved A/B (scripts/ab_decode.py) found the kernel ties or beats
-    XLA when a slot's KV window is >= ~1 MB of stream per array (7B
-    W=4096: any window; GQA W=1024: windows >= 1024) and loses ~7% below
-    that (DMA blocks too small to hide per-block overhead). The layout
-    choice is made once per model here; decode_step routes to the kernel
-    iff the cache is flat.
+    Interleaved A/B (scripts/ab_decode.py) across 7B/GQA shapes and
+    bs16-96: the kernel ties or beats the XLA path everywhere — sub-MB
+    full windows (GQA-class) go through the multi-slot packed variant
+    (GQA L=256 ratio 0.986 vs 1.070 for single-slot blocks), larger
+    windows through the L-blocked variant with per-slot DMA skip (L=1024
+    mixed-context ratio 0.858). The only unpacked sub-MB case left is a
+    bucketed window below the full sequence (decode_buckets > 0), a ~7%
+    regression bounded by the bucket — acceptable against maintaining a
+    second layout. `max_len` is unused but kept for callers that sized
+    the policy historically.
     """
-    if _decode_attn_mode(p) != "pallas":
-        return False
-    w = p.n_kv_heads * p.head_dim
-    if max_len is not None and max_len * w < (1 << 20):
-        return False
-    return True
+    del max_len
+    return _decode_attn_mode(p) == "pallas"
 
 
 def _write_slot_kv(cache: KVCache, layer, slot, start, kq, vq, ks, vs) -> KVCache:

@@ -375,6 +375,95 @@ def decode_attention_wide(
     return out
 
 
+def _packed_kernel(pos_ref, qc_ref, qs_ref, k_ref, v_ref, ks_ref, vs_ref,
+                   o_ref, qw_scr, *, sb, l_max, n_kv, rep, hd, kv_int8,
+                   quantized):
+    """Multi-slot variant: one [sb*L, W] KV block serves sb adjacent slots
+    (sub-MB per-slot windows make single-slot DMA blocks too small to hide
+    per-block overhead — measured 7% loss on GQA at L=256). Single L-block
+    per program, so plain softmax (no online state)."""
+    g = pl.program_id(0)
+    m_dim = qc_ref.shape[1]          # heads per slot
+    sm = sb * m_dim
+    rows = sb * l_max
+    w = k_ref.shape[1]
+
+    # in-VMEM Q_wide for the sb packed slots: rows [t*M, (t+1)*M) hold slot
+    # t's heads at their kv-head lane slices
+    row_h = jax.lax.broadcasted_iota(jnp.int32, (m_dim, hd), 0) // rep
+    for t in range(sb):
+        qv = qc_ref[t]               # [M, hd]
+        zero = jnp.zeros((m_dim, hd), qv.dtype)
+        for h in range(n_kv):
+            qw_scr[t * m_dim:(t + 1) * m_dim, h * hd:(h + 1) * hd] = \
+                jnp.where(row_h == h, qv, zero)
+
+    kb = k_ref[...]                  # [sb*L, W]
+    # slot-local scale rows tiled across the sb column blocks: cross-slot
+    # entries get the wrong slot's scale, but those scores are masked below
+    if quantized:
+        ks = jnp.concatenate([ks_ref[...]] * sb, axis=1)   # [sm, sb*L]
+        vs = jnp.concatenate([vs_ref[...]] * sb, axis=1)
+    if kv_int8:
+        s = jax.lax.dot_general(
+            qw_scr[...], kb, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.int32,
+        ).astype(jnp.float32)        # [sb*M, sb*L]
+        s = s * qs_ref[...].reshape(sm, 1)
+        if quantized:
+            s = s * ks
+    else:
+        s = jax.lax.dot_general(
+            qw_scr[...].astype(jnp.float32), kb.astype(jnp.float32),
+            (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32)
+        if quantized:
+            s = s * ks
+
+    # mask: same-slot AND causal. Static slot-block-diagonal pattern plus
+    # per-slot positions from SMEM (sb scalar reads, statically unrolled).
+    row_slot = jax.lax.broadcasted_iota(jnp.int32, (sm, rows), 0) // m_dim
+    col_slot = jax.lax.broadcasted_iota(jnp.int32, (sm, rows), 1) // l_max
+    col_within = jax.lax.broadcasted_iota(jnp.int32, (sm, rows), 1) % l_max
+    ok = row_slot == col_slot
+    pos_row = jnp.zeros((sm, 1), jnp.int32)
+    rm = jax.lax.broadcasted_iota(jnp.int32, (sm, 1), 0) // m_dim
+    for t in range(sb):
+        pos_row = jnp.where(rm == t, pos_ref[1 + g * sb + t], pos_row)
+    ok = jnp.logical_and(ok, col_within <= pos_row)
+    s = jnp.where(ok, s, _NEG_INF)
+
+    m = jnp.max(s, axis=1, keepdims=True)
+    p = jnp.exp(s - jnp.maximum(m, _NEG_INF / 2))
+    lsum = jnp.sum(p, axis=1, keepdims=True)
+
+    if quantized:
+        p = p * vs
+    vb = v_ref[...]
+    if kv_int8:
+        pmax = jnp.max(jnp.abs(p), axis=1, keepdims=True)
+        pscale = jnp.maximum(pmax / 127.0, 1e-20)
+        pq = jnp.clip(jnp.round(p / pscale), -127, 127).astype(jnp.int8)
+        acc = jax.lax.dot_general(
+            pq, vb, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.int32,
+        ).astype(jnp.float32) * pscale
+    else:
+        if vb.dtype != jnp.float32:
+            vb = vb.astype(jnp.bfloat16)
+            p = p.astype(jnp.bfloat16)
+        acc = jax.lax.dot_general(
+            p, vb, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)        # [sb*M, W]
+
+    rh = jax.lax.broadcasted_iota(jnp.int32, (sm, hd), 0) % m_dim // rep
+    out = jnp.zeros((sm, hd), jnp.float32)
+    for h in range(n_kv):
+        sel = (rh == h).astype(jnp.float32)
+        out = out + acc[:, h * hd:(h + 1) * hd] * sel
+    out = jnp.where(lsum > 0, out / jnp.maximum(lsum, 1e-20), 0.0)
+    o_ref[...] = out.reshape(sb, m_dim, hd)
+
+
 def decode_attention_wide_cache(
     q: jax.Array,
     k_full: jax.Array,
@@ -453,6 +542,52 @@ def decode_attention_wide_cache(
         jnp.asarray([layer], jnp.int32).reshape(1),
         positions.astype(jnp.int32),
     ])
+
+    # Multi-slot packing for sub-MB windows (GQA-class shapes): single-slot
+    # DMA blocks below ~1 MB measured 7% slower than XLA (per-block
+    # overhead); packing sb adjacent slots into one [sb*L, W] block
+    # restores MB-scale DMAs. Only possible at the full window (slot rows
+    # are contiguous in the flat view iff win == l_max).
+    sb = 1
+    if win == l_max:
+        while (sb * 2) <= s_dim and s_dim % (sb * 2) == 0 \
+                and win * w * sb < (1 << 20):
+            sb *= 2
+    if sb > 1:
+        grid_spec = pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=(s_dim // sb,),
+            in_specs=[
+                pl.BlockSpec((sb, m_dim, hd), lambda g, *_: (g, 0, 0),
+                             memory_space=pltpu.VMEM),   # q compact
+                pl.BlockSpec((sb, m_dim, 1), lambda g, *_: (g, 0, 0),
+                             memory_space=pltpu.VMEM),   # q scales
+                pl.BlockSpec((sb * l_max, w),
+                             lambda g, sref: (sref[0] * (s_dim // sb) + g, 0),
+                             memory_space=pltpu.VMEM),   # K packed slots
+                pl.BlockSpec((sb * l_max, w),
+                             lambda g, sref: (sref[0] * (s_dim // sb) + g, 0),
+                             memory_space=pltpu.VMEM),   # V packed slots
+                pl.BlockSpec((sb * m_dim, win if quantized else 1),
+                             lambda g, *_: (g, 0), memory_space=pltpu.VMEM),
+                pl.BlockSpec((sb * m_dim, win if quantized else 1),
+                             lambda g, *_: (g, 0), memory_space=pltpu.VMEM),
+            ],
+            out_specs=pl.BlockSpec((sb, m_dim, hd), lambda g, *_: (g, 0, 0),
+                                   memory_space=pltpu.VMEM),
+            scratch_shapes=[pltpu.VMEM((sb * m_dim, w), qc.dtype)],
+        )
+        out = pl.pallas_call(
+            functools.partial(
+                _packed_kernel, sb=sb, l_max=l_max, n_kv=n_kv, rep=rep,
+                hd=hd, kv_int8=kv_int8, quantized=quantized),
+            out_shape=jax.ShapeDtypeStruct((s_dim, m_dim, hd), jnp.float32),
+            grid_spec=grid_spec,
+            compiler_params=pltpu.CompilerParams(
+                dimension_semantics=("arbitrary",)),
+            interpret=bool(interpret),
+        )(scalars, qc, qs, kf, vf, ksr, vsr)
+        return out
 
     # Per-slot DMA skip: the chip's measured achievable HBM stream is
     # ~295 GB/s (scripts/peak_bw) and the whole decode step already runs at
