@@ -517,9 +517,10 @@ def decode_attention_wide_cache(
     win = l_max if window is None else min(int(window), l_max)
     if block_l is None:
         # smaller blocks = finer-grained per-slot DMA skip (a slot reads
-        # ceil((pos+1)/block_l) blocks); 64 rows x W is still a large
-        # enough DMA (256 KB at 7B) to stream at the measured peak
-        block_l = int(os.environ.get("TPUSERVE_ATTN_BLOCK_L", "64"))
+        # ceil((pos+1)/block_l) blocks); 128 is the interleaved-A/B sweet
+        # spot (512-KB blocks at 7B): bl=64 paid more per-block overhead
+        # than its extra skip won, bl=256 skips too coarsely
+        block_l = int(os.environ.get("TPUSERVE_ATTN_BLOCK_L", "128"))
     block_l = min(block_l, win)
     while win % block_l != 0:
         block_l //= 2
