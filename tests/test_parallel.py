@@ -137,6 +137,65 @@ class TestShardedQmatmul:
         assert r_a["output_ids"] == r_b["output_ids"]
 
 
+class TestShardedDecodeAttention:
+    """The wide decode-attention kernel under a mesh runs as a shard_map
+    island (decode_attention_sharded) — dp splits slots, tp splits kv-head
+    groups, no collective. CPU mesh runs the kernel in interpret mode; the
+    island's specs/divisibility decisions are the same as on TPU."""
+
+    def _setup(self, quantized, s=4, l=64, n_kv=4, rep=2, hd=32, n_layers=2):
+        rng = np.random.default_rng(5)
+        h = n_kv * rep
+        q = (rng.normal(size=(s, h, hd)) / np.sqrt(hd)).astype(np.float32)
+        positions = np.array([3, -1, l - 1, 17], np.int32)[:s]
+        if quantized:
+            k = rng.integers(-127, 127, size=(n_layers, s, l, n_kv, hd)).astype(np.int8)
+            v = rng.integers(-127, 127, size=(n_layers, s, l, n_kv, hd)).astype(np.int8)
+            ks = rng.uniform(0.001, 0.02, size=(n_layers, s, l, n_kv)).astype(np.float32)
+            vs = rng.uniform(0.001, 0.02, size=(n_layers, s, l, n_kv)).astype(np.float32)
+        else:
+            k = rng.normal(size=(n_layers, s, l, n_kv, hd)).astype(np.float32)
+            v = rng.normal(size=(n_layers, s, l, n_kv, hd)).astype(np.float32)
+            ks = vs = None
+        return q, k, v, ks, vs, positions
+
+    @pytest.mark.parametrize("quantized", [True, False])
+    @pytest.mark.parametrize("flat", [True, False])
+    def test_matches_unsharded_kernel(self, quantized, flat):
+        from tpuserve.ops.decode_attention import decode_attention_wide_cache
+        from tpuserve.parallel.sharding import decode_attention_sharded
+
+        q, k, v, ks, vs, positions = self._setup(quantized)
+        layer = 1
+        n_layers, s, l, n_kv, hd = k.shape[0], k.shape[1], k.shape[2], k.shape[3], k.shape[4]
+        kj, vj = jnp.asarray(k), jnp.asarray(v)
+        if flat:
+            kj = kj.reshape(n_layers, s, l, n_kv * hd)
+            vj = vj.reshape(n_layers, s, l, n_kv * hd)
+        ks_l = None if ks is None else jnp.asarray(ks[layer])
+        vs_l = None if vs is None else jnp.asarray(vs[layer])
+        ref = np.asarray(decode_attention_wide_cache(
+            jnp.asarray(q), kj, vj, ks_l, vs_l, jnp.asarray(positions),
+            layer, interpret=True))
+        mesh = make_mesh(tp=4, dp=2)
+        out = np.asarray(decode_attention_sharded(
+            jnp.asarray(q), kj, vj, ks_l, vs_l, jnp.asarray(positions),
+            layer, mesh))
+        # per-shard slot packing differs from the unsharded kernel's (the
+        # packed-block budget sees W/tp), so int8 P-requant rounding differs
+        tol = dict(rtol=5e-2, atol=1e-2) if quantized else dict(rtol=1e-5, atol=1e-6)
+        np.testing.assert_allclose(out, ref, **tol)
+        assert np.all(out[1] == 0.0)  # inactive slot
+
+    def test_divisibility_predicate(self):
+        from tpuserve.parallel.sharding import can_shard_decode_attention
+
+        mesh = make_mesh(tp=4, dp=2)
+        assert can_shard_decode_attention(mesh, s_dim=4, n_kv_heads=4)
+        assert not can_shard_decode_attention(mesh, s_dim=3, n_kv_heads=4)
+        assert not can_shard_decode_attention(mesh, s_dim=4, n_kv_heads=2)
+
+
 class TestQuantizedSharding:
     def test_per_channel_scales_row_sharded(self):
         """W8A8-style per-channel scales ([1, N]) on row-sharded weights

@@ -582,6 +582,7 @@ def decode_step(params, p: LlamaParams, tokens: jax.Array, cache: KVCache,
             )
 
             attn_mode = _decode_attn_mode(p)
+            attn_mesh = None
             if attn_mode == "pallas":
                 # kernel only where it pays (see preferred_cache_flat): on
                 # TPU a 5D (non-flat) cache means the layout chooser ruled
@@ -590,13 +591,19 @@ def decode_step(params, p: LlamaParams, tokens: jax.Array, cache: KVCache,
                 if jax.devices()[0].platform == "tpu" and not new_cache.flat:
                     attn_mode = "xla"
                 # GSPMD cannot partition a pallas_call: under a live
-                # multi-chip mesh decode attention stays on the XLA path
-                # (KV is dp/tp-sharded, so each shard's window is small)
-                from tpuserve.parallel.sharding import active_mesh
+                # multi-chip mesh the kernel runs as a shard_map island
+                # (decode_attention_sharded — zero-collective GQA split over
+                # dp slots x tp kv-head groups) when shapes divide, else
+                # decode attention stays on the XLA path
+                from tpuserve.parallel.sharding import (
+                    active_mesh, can_shard_decode_attention)
 
                 mesh = active_mesh()
                 if mesh is not None and mesh.devices.size > 1:
-                    attn_mode = "xla"
+                    if can_shard_decode_attention(mesh, s, p.n_kv_heads):
+                        attn_mesh = mesh
+                    else:
+                        attn_mode = "xla"
             if attn_mode == "pallas":
                 # v3 wide kernel over the cache IN PLACE: no per-layer
                 # [S, win, Hkv, hd] slice copy (that copy is a second full
@@ -604,7 +611,7 @@ def decode_step(params, p: LlamaParams, tokens: jax.Array, cache: KVCache,
                 # scalar-prefetched layer index
                 from tpuserve.ops.decode_attention import decode_attention_wide_cache
 
-                out = decode_attention_wide_cache(
+                args = (
                     q / math.sqrt(p.head_dim),
                     new_cache.k,
                     new_cache.v,
@@ -612,8 +619,13 @@ def decode_step(params, p: LlamaParams, tokens: jax.Array, cache: KVCache,
                     new_cache.v_scale[layer] if new_cache.quantized else None,
                     positions,
                     layer,
-                    window=win,
                 )
+                if attn_mesh is not None:
+                    from tpuserve.parallel.sharding import decode_attention_sharded
+
+                    out = decode_attention_sharded(*args, attn_mesh, window=win)
+                else:
+                    out = decode_attention_wide_cache(*args, window=win)
                 return out.astype(x.dtype).reshape(s, p.n_heads * p.head_dim)
 
             k_all = new_cache.k[layer, :, :win]  # [S, win, Hkv, hd]

@@ -148,6 +148,78 @@ def qmatmul_sharded(x: jax.Array, qt: QTensor, name: str, mesh: Mesh) -> jax.Arr
     )(x, qt)
 
 
+# ------------------------------------------------- sharded decode attention
+# The wide decode-attention kernel (ops/decode_attention.py) is also a
+# single-chip program; under a mesh it runs as a shard_map island. GQA decode
+# attention is embarrassingly parallel over the (dp, tp) mesh: KV is
+# [layers, S(dp), L, W(tp)], query heads are ordered h = kv_head*rep + r so
+# the tp-sharded H dim splits on kv-head-group boundaries, and every head's
+# output is complete on its shard — no collective at all (the psum happens
+# later in the row-sharded wo matmul). r1 downgraded sharded decode to the
+# XLA einsum path (VERDICT weak #3 / CLAUDE.md known gap); this keeps the
+# kernel's per-slot DMA skip win under TP x DP serving.
+
+
+def can_shard_decode_attention(mesh: Mesh, s_dim: int, n_kv_heads: int) -> bool:
+    """The kernel island needs whole slots per dp shard and whole kv-head
+    groups per tp shard (W splits on head boundaries iff Hkv % tp == 0)."""
+    dp = mesh.shape.get("dp", 1)
+    tp = mesh.shape.get("tp", 1)
+    return s_dim % dp == 0 and n_kv_heads % tp == 0
+
+
+def decode_attention_sharded(
+    q: jax.Array,
+    k_full: jax.Array,
+    v_full: jax.Array,
+    k_scale_l,
+    v_scale_l,
+    positions: jax.Array,
+    layer,
+    mesh: Mesh,
+    *,
+    window: Optional[int] = None,
+) -> jax.Array:
+    """decode_attention_wide_cache per (dp, tp) shard.
+
+    q [S, H, hd] (pre-scaled by 1/sqrt(hd)); k_full/v_full the full cache,
+    flat [layers, S, L, W] or 5D [layers, S, L, Hkv, hd]; scales this
+    layer's [S, L, Hkv] or None; positions [S]. Returns [S, H, hd] f32,
+    (dp, tp)-sharded like q. L is NOT sharded: each shard walks the full
+    window of its own slots, so the per-slot DMA skip and slot packing
+    operate on per-shard shapes.
+    """
+    from jax.experimental.shard_map import shard_map
+
+    from tpuserve.ops.decode_attention import decode_attention_wide_cache
+
+    flat = k_full.ndim == 4
+    kv_spec = P(None, "dp", None, "tp") if flat else P(None, "dp", None, "tp", None)
+    q_spec = P("dp", "tp", None)
+    pos_spec = P("dp")
+    if k_scale_l is not None:
+        sc_spec = P("dp", None, "tp")
+
+        def body(ql, kl, vl, ksl, vsl, posl):
+            return decode_attention_wide_cache(
+                ql, kl, vl, ksl, vsl, posl, layer, window=window)
+
+        return shard_map(
+            body, mesh=mesh,
+            in_specs=(q_spec, kv_spec, kv_spec, sc_spec, sc_spec, pos_spec),
+            out_specs=q_spec, check_rep=False,
+        )(q, k_full, v_full, k_scale_l, v_scale_l, positions)
+
+    def body(ql, kl, vl, posl):
+        return decode_attention_wide_cache(
+            ql, kl, vl, None, None, posl, layer, window=window)
+
+    return shard_map(
+        body, mesh=mesh, in_specs=(q_spec, kv_spec, kv_spec, pos_spec),
+        out_specs=q_spec, check_rep=False,
+    )(q, k_full, v_full, positions)
+
+
 def cache_pspec() -> KVCache:
     """PartitionSpecs for the KVCache pytree: [layers, S, L, Hkv, hd]."""
     kv = P(None, "dp", None, "tp", None)

@@ -219,10 +219,18 @@ class GenerationEngine:
             )
             self.ptm = PageTableManager(num_pages, ps, self.n_slots, self.max_seq_len)
         else:
+            # flat (kernel) layout also under a mesh when the shard_map
+            # island's divisibility holds (decode_attention_sharded);
+            # otherwise sharded decode reads the 5D cache on the XLA path
+            flat = llama.preferred_cache_flat(p, self.max_seq_len)
+            if flat and self.mesh is not None:
+                from tpuserve.parallel.sharding import can_shard_decode_attention
+
+                flat = can_shard_decode_attention(
+                    self.mesh, self.n_slots, p.n_kv_heads)
             self.cache = KVCache.create(
                 p, self.n_slots, self.max_seq_len, quantized=quant_kv,
-                flat=(llama.preferred_cache_flat(p, self.max_seq_len)
-                      and self.mesh is None),
+                flat=flat,
             )
             if self.mesh is not None:
                 from tpuserve.parallel.sharding import shard_cache
