@@ -213,6 +213,164 @@ class TestPagedEngine:
             eng.stop()
 
 
+class TestPrefixSharing:
+    """Page-granular prompt-prefix sharing (generation.prefix_sharing):
+    hash-chained full-page blocks, refcounts, LRU eviction."""
+
+    def test_admit_shared_match_and_refcount(self):
+        ptm = PageTableManager(n_pages=17, page_size=4, n_slots=4, max_len=32,
+                               prefix_sharing=True)
+        prompt = list(range(10))  # 2 full pages + 2-token tail
+        assert ptm.admit_shared(0, prompt) == (8, 0)  # registered, no match
+        ptm.ensure(0, 10)
+        assert ptm.admit_shared(1, prompt) == (8, 8)  # full prefix hit
+        ptm.ensure(1, 10)
+        t = np.asarray(ptm.device_table())
+        np.testing.assert_array_equal(t[0][:2], t[1][:2])  # same shared pages
+        assert t[0][2] != t[1][2]  # private tails differ
+        # diverging prompt shares only the first block
+        _, matched = ptm.admit_shared(2, prompt[:4] + [99] * 6)
+        assert matched == 4
+        # shorter than a page: nothing shareable
+        assert ptm.admit_shared(3, [1, 2, 3]) == (0, 0)
+        # hash CHAIN: same block content under a different prefix must miss
+        ptm.release(3)
+        _, matched = ptm.admit_shared(3, [99] * 4 + prompt[4:8] + [1, 2])
+        assert matched == 0
+
+    def test_final_token_never_shared(self):
+        """An exact-multiple prompt keeps its last page private so prefill
+        always has >= 1 token to produce first-token logits from."""
+        ptm = PageTableManager(n_pages=9, page_size=4, n_slots=2, max_len=32,
+                               prefix_sharing=True)
+        shared, _ = ptm.admit_shared(0, [1, 2, 3, 4, 5, 6, 7, 8])
+        assert shared == 4  # (l-1)//ps = 1 block
+
+    def test_lru_eviction_under_pressure(self):
+        ptm = PageTableManager(n_pages=5, page_size=4, n_slots=2, max_len=16,
+                               prefix_sharing=True)  # 4 usable pages
+        ptm.admit_shared(0, list(range(9)))  # registers 2 blocks
+        ptm.ensure(0, 9)  # +1 private
+        ptm.release(0)  # private freed; blocks stay cached at refcount 0
+        assert ptm.cached_blocks == 2
+        # a different prompt needing all 4 pages forces LRU eviction
+        shared, matched = ptm.admit_shared(1, [50 + i for i in range(13)])
+        assert (shared, matched) == (12, 0)
+        ptm.ensure(1, 13)
+        assert ptm.cached_blocks == 3  # old 2 evicted, 3 new cached
+        ptm.release(1)
+
+    def test_referenced_blocks_never_evicted(self):
+        ptm = PageTableManager(n_pages=4, page_size=4, n_slots=2, max_len=16,
+                               prefix_sharing=True)  # 3 usable pages
+        ptm.admit_shared(0, list(range(9)))  # 2 blocks, refcount 1
+        ptm.ensure(0, 9)  # +1 private: pool full
+        with pytest.raises(ResourceExhaustedError):
+            ptm.ensure(1, 16)  # nothing evictable (blocks referenced)
+        assert ptm.cached_blocks == 2
+
+
+class TestPrefixSharingModelMath:
+    @pytest.mark.parametrize("quantized", [False, True])
+    def test_suffix_prefill_matches_full(self, quantized):
+        """Admitting a matched prompt via prefill_paged_suffix must produce
+        the same last-token logits and the same decode continuation as a
+        fresh full prefill of the identical prompt."""
+        params = llama.init_params(jax.random.PRNGKey(0), P, dtype=jnp.float32)
+        ps, n_pages, max_len = 8, 17, 64
+        rng = np.random.default_rng(4)
+        prompt = rng.integers(3, P.vocab_size, size=21).tolist()
+
+        ptm = PageTableManager(n_pages, ps, n_slots=2, max_len=max_len,
+                               prefix_sharing=True)
+        cache = PagedKVCache.create(P, n_pages, ps, quantized=quantized,
+                                    dtype=jnp.float32)
+        # slot 0 registers the blocks and prefills them (the writer)
+        assert ptm.admit_shared(0, prompt) == (16, 0)
+        ptm.ensure(0, 32)
+        tokens = np.zeros((1, 32), np.int32)
+        tokens[0, : len(prompt)] = prompt
+        logits0, cache = llama.prefill_paged(
+            params, P, jnp.asarray(tokens), cache, ptm.device_table(),
+            jnp.int32(0), jnp.int32(len(prompt)))
+
+        # slot 1 matches the 2-block prefix and prefills only the suffix
+        shared, matched = ptm.admit_shared(1, prompt)
+        assert matched == 16
+        ptm.ensure(1, 32)
+        suffix = prompt[16:]
+        stoks = np.zeros((1, 8), np.int32)
+        stoks[0, : len(suffix)] = suffix
+        logits1, cache = llama.prefill_paged_suffix(
+            params, P, jnp.asarray(stoks), cache, ptm.device_table(),
+            jnp.int32(1), jnp.int32(16), jnp.int32(len(suffix)), window=32)
+        tol = dict(rtol=2e-2, atol=2e-2) if quantized else dict(rtol=1e-4, atol=1e-4)
+        np.testing.assert_allclose(
+            np.asarray(logits1), np.asarray(logits0), **tol)
+
+        # decode continuation: both slots carry the same context
+        tok = int(np.argmax(np.asarray(logits0)[0]))
+        pos = len(prompt)
+        for _ in range(3):
+            ptm.ensure(0, pos + 1)
+            ptm.ensure(1, pos + 1)
+            logits, cache = llama.decode_step_paged(
+                params, P, jnp.asarray(np.array([tok, tok], np.int32)), cache,
+                ptm.device_table(), jnp.asarray(np.array([pos, pos], np.int32)))
+            l0, l1 = np.asarray(logits)[0], np.asarray(logits)[1]
+            np.testing.assert_allclose(l1, l0, **tol)
+            assert int(np.argmax(l0)) == int(np.argmax(l1))
+            tok = int(np.argmax(l0))
+            pos += 1
+
+
+class TestPrefixSharingEngine:
+    def _repo(self, tmp_path, name, sharing):
+        vdir = os.path.join(str(tmp_path), name, "1")
+        os.makedirs(vdir, exist_ok=True)
+        cfg = {
+            "name": name, "platform": "llm", "architecture": "llama",
+            "model_params": {"vocab_size": P.vocab_size, "dim": P.dim,
+                              "n_layers": P.n_layers, "n_heads": P.n_heads,
+                              "n_kv_heads": P.n_kv_heads, "head_dim": P.head_dim,
+                              "ffn_dim": P.ffn_dim, "init": "random"},
+            "generation": {"max_seq_len": 64, "max_slots": 3, "page_size": 16,
+                            "paged": True, "prefix_sharing": sharing,
+                            "eos_token_id": 2, "max_new_tokens": 8},
+            "quantization": {"kv_cache": "int8"},
+        }
+        with open(os.path.join(vdir, "config.json"), "w") as f:
+            json.dump(cfg, f)
+        return vdir
+
+    def test_sharing_engine_matches_plain(self, tmp_path):
+        """Same greedy outputs with sharing on/off; the second admission of
+        a shared prefix is served from the block cache."""
+        vd_s = self._repo(tmp_path, "share_llm", True)
+        vd_p = self._repo(tmp_path, "plain_llm", False)
+        eng_s = GenerationEngine(vd_s, ModelConfig.from_file(os.path.join(vd_s, "config.json")))
+        eng_p = GenerationEngine(vd_p, ModelConfig.from_file(os.path.join(vd_p, "config.json")))
+        eng_s.start()
+        eng_p.start()
+        try:
+            rng = np.random.default_rng(9)
+            prefix = rng.integers(3, P.vocab_size, size=32).tolist()
+            prompts = [prefix + [7, 8], prefix + [9, 10, 11], prefix[:16] + [4] * 5]
+            for prompt in prompts:
+                rs = eng_s.generate(prompt, max_new_tokens=6)
+                rp = eng_p.generate(prompt, max_new_tokens=6)
+                assert rs["output_ids"] == rp["output_ids"], prompt
+            assert eng_s.ptm.prefix_hits > 0
+            assert eng_s.ptm.prefix_hit_tokens >= 32 + 16
+            assert eng_p.ptm.prefix_hits == 0
+            # retired slots free their private pages; only cached blocks stay
+            held = eng_s.ptm._alloc.total_pages - eng_s.ptm.free_pages
+            assert held == eng_s.ptm.cached_blocks
+        finally:
+            eng_s.stop()
+            eng_p.stop()
+
+
 def test_allocator_backend_selection():
     alloc = make_allocator(8, 16)
     from tpuserve.bindings import native

@@ -187,6 +187,39 @@ class TestShardedDecodeAttention:
         np.testing.assert_allclose(out, ref, **tol)
         assert np.all(out[1] == 0.0)  # inactive slot
 
+    @pytest.mark.parametrize("quantized", [True, False])
+    def test_paged_island_matches_unsharded(self, quantized):
+        from tpuserve.ops.decode_attention import decode_attention_wide_paged
+        from tpuserve.parallel.sharding import decode_attention_paged_sharded
+
+        rng = np.random.default_rng(6)
+        n_layers, s, n_kv, rep, hd = 2, 4, 4, 2, 32
+        ps_, n_pages, max_pages = 8, 9, 4
+        h, w = n_kv * rep, n_kv * hd
+        q = jnp.asarray((rng.normal(size=(s, h, hd)) / np.sqrt(hd)).astype(np.float32))
+        if quantized:
+            kp = jnp.asarray(rng.integers(-127, 127, size=(n_layers, n_pages, ps_, w)).astype(np.int8))
+            vp = jnp.asarray(rng.integers(-127, 127, size=(n_layers, n_pages, ps_, w)).astype(np.int8))
+        else:
+            kp = jnp.asarray(rng.normal(size=(n_layers, n_pages, ps_, w)).astype(np.float32))
+            vp = jnp.asarray(rng.normal(size=(n_layers, n_pages, ps_, w)).astype(np.float32))
+        win = max_pages * ps_
+        if quantized:
+            ks = jnp.asarray(rng.uniform(0.001, 0.02, size=(s, win, n_kv)).astype(np.float32))
+            vs = jnp.asarray(rng.uniform(0.001, 0.02, size=(s, win, n_kv)).astype(np.float32))
+        else:
+            ks = vs = None
+        table = jnp.asarray(rng.permutation(np.arange(1, 9)).reshape(s // 2, 4).repeat(2, 0)[:s].astype(np.int32))
+        positions = jnp.asarray(np.array([5, -1, win - 1, 12], np.int32))
+        ref = np.asarray(decode_attention_wide_paged(
+            q, kp, vp, ks, vs, table, positions, 1, window=win, interpret=True))
+        mesh = make_mesh(tp=4, dp=2)
+        out = np.asarray(decode_attention_paged_sharded(
+            q, kp, vp, ks, vs, table, positions, 1, mesh, window=win))
+        tol = dict(rtol=5e-2, atol=1e-2) if quantized else dict(rtol=1e-5, atol=1e-6)
+        np.testing.assert_allclose(out, ref, **tol)
+        assert np.all(out[1] == 0.0)
+
     def test_divisibility_predicate(self):
         from tpuserve.parallel.sharding import can_shard_decode_attention
 
@@ -271,25 +304,39 @@ class TestShardedEngine:
                 eng.stop()
         assert outs["solo"] == outs["tp4dp2"]
 
-    def test_sharded_paged_rejected(self, tmp_path):
+    def test_sharded_paged_matches_unsharded(self, tmp_path):
+        """Paged + TP/DP compose (r1 gated them apart): the pool shards
+        kv-heads over tp and replicates across dp; generation matches the
+        unsharded paged engine token for token."""
         import json
         import os
 
         from tpuserve.repository.config import ModelConfig
         from tpuserve.serving.engine import GenerationEngine
-        from tpuserve.utils.errors import BackendError
 
-        vdir = os.path.join(str(tmp_path), "bad", "1")
-        os.makedirs(vdir)
-        with open(os.path.join(vdir, "config.json"), "w") as f:
-            json.dump({
-                "name": "bad", "platform": "llm", "architecture": "llama",
-                "model_params": {"vocab_size": 64, "dim": 32, "n_layers": 1,
-                                  "n_heads": 4, "n_kv_heads": 4, "head_dim": 8,
-                                  "ffn_dim": 64, "init": "random"},
-                "generation": {"max_seq_len": 64, "max_slots": 4, "paged": True},
-                "sharding": {"tensor_parallel": 4},
-            }, f)
-        eng = GenerationEngine(vdir, ModelConfig.from_file(os.path.join(vdir, "config.json")))
-        with pytest.raises(BackendError):
+        base = {
+            "platform": "llm", "architecture": "llama",
+            "model_params": {"vocab_size": 128, "dim": 32, "n_layers": 2,
+                              "n_heads": 8, "n_kv_heads": 4, "head_dim": 8,
+                              "ffn_dim": 64, "init": "random"},
+            "generation": {"max_seq_len": 64, "max_slots": 4, "paged": True,
+                            "page_size": 16, "eos_token_id": 2,
+                            "max_new_tokens": 6},
+            "quantization": {"weights": "int8", "group_size": 16, "kv_cache": "int8"},
+        }
+        outs = {}
+        for name, sharding in (("pg_solo", {}), ("pg_tp4dp2", {"tensor_parallel": 4, "data_parallel": 2})):
+            vdir = os.path.join(str(tmp_path), name, "1")
+            os.makedirs(vdir)
+            cfg = dict(base, name=name, sharding=sharding)
+            with open(os.path.join(vdir, "config.json"), "w") as f:
+                json.dump(cfg, f)
+            eng = GenerationEngine(vdir, ModelConfig.from_file(os.path.join(vdir, "config.json")))
             eng.start()
+            try:
+                if sharding:
+                    assert eng.mesh is not None
+                outs[name] = eng.generate([5, 17, 100, 9], max_new_tokens=5)["output_ids"]
+            finally:
+                eng.stop()
+        assert outs["pg_solo"] == outs["pg_tp4dp2"]

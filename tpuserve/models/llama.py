@@ -756,6 +756,117 @@ def prefill_paged(params, p: LlamaParams, tokens: jax.Array, cache,
     return _logits(params, last, p), new_cache
 
 
+def prefill_paged_suffix(params, p: LlamaParams, tokens: jax.Array, cache,
+                         page_table: jax.Array, slot: jax.Array,
+                         start: jax.Array, length: jax.Array, window: int):
+    """Prefill the SUFFIX of a prompt whose first `start` tokens already
+    hold valid KV in the slot's pages (prefix sharing: the engine matched
+    them in the PageTableManager's block cache, so their prefill compute
+    AND page writes are skipped entirely).
+
+    tokens [1, C] (suffix, right-padded; `length` = valid tokens in it);
+    start = global position of tokens[0] (page-aligned by the caller);
+    window (static, page multiple) covers start+C. Queries attend to the
+    shared prefix pages plus causally within the suffix — the paged analogue
+    of prefill_chunk. The padded tail writes garbage K/V at
+    [start+length, start+C) inside the slot's own pages — harmless, decode
+    overwrites position start+length before any read reaches it.
+    Returns (logits [1, V] at the suffix's last valid position, cache).
+    """
+    from tpuserve.serving.paged_kv import PagedKVCache
+
+    b, c = tokens.shape
+    ps = cache.page_size
+    x = params["embed/weight"][tokens]  # [1, C, D]
+    gpos = start + jnp.arange(c, dtype=jnp.int32)  # [C] global positions
+    cos, sin = rope_cos_sin(gpos[None, :], p.head_dim, p.rope_theta)
+    cos, sin = cos[:, :, None, :], sin[:, :, None, :]
+    n_cols = max(1, min(int(window) // ps, page_table.shape[1]))
+    l_virt = n_cols * ps
+    kpos = jnp.arange(l_virt, dtype=jnp.int32)
+    mask = kpos[None, :] <= gpos[:, None]  # [C, win] global causal
+
+    full_row = jax.lax.dynamic_slice_in_dim(page_table, slot, 1, 0)[0]  # [P]
+    row = full_row[:n_cols]  # [P_win]
+    lpos = jnp.arange(c, dtype=jnp.int32)
+    # padded-tail rows (lpos >= length) may index past the slot's chain, so
+    # they are routed to the reserved zero page and masked to re-write its
+    # old (zero) value — a no-op that cannot collide with a valid write
+    # (chain pages are >= 1; duplicate zero-page targets all carry the same
+    # old value, so scatter order is irrelevant)
+    wvalid = lpos < length
+    wpage = jnp.where(
+        wvalid,
+        full_row[jnp.minimum((start + lpos) // ps, full_row.shape[0] - 1)],
+        0)
+    woff = (start + lpos) % ps
+
+    new_cache = cache
+    for layer in range(p.n_layers):
+        pre = f"layers.{layer}"
+
+        def attn_fn(q, k, v, layer=layer):
+            nonlocal new_cache
+            q = q.reshape(b, c, p.n_heads, p.head_dim)
+            k = k.reshape(b, c, p.n_kv_heads, p.head_dim)
+            v = v.reshape(b, c, p.n_kv_heads, p.head_dim)
+            q = apply_rope(q, cos, sin)
+            k = apply_rope(k, cos, sin)
+            if new_cache.quantized:
+                kq, ks = _quantize_kv(k[0])  # [C, Hkv, hd], [C, Hkv]
+                vq, vs = _quantize_kv(v[0])
+            else:
+                kq = k[0].astype(new_cache.k.dtype)
+                vq = v[0].astype(new_cache.v.dtype)
+                ks = vs = None
+            if new_cache.flat:
+                kq, vq = kq.reshape(c, -1), vq.reshape(c, -1)
+
+            def masked(new, old_arr):
+                old = old_arr[layer, wpage, woff]
+                m = wvalid.reshape((c,) + (1,) * (new.ndim - 1))
+                return jnp.where(m, new, old)
+
+            new_cache = PagedKVCache(
+                k=new_cache.k.at[layer, wpage, woff].set(masked(kq.astype(new_cache.k.dtype), new_cache.k)),
+                v=new_cache.v.at[layer, wpage, woff].set(masked(vq.astype(new_cache.v.dtype), new_cache.v)),
+                k_scale=None if ks is None else new_cache.k_scale.at[layer, wpage, woff].set(masked(ks, new_cache.k_scale)),
+                v_scale=None if vs is None else new_cache.v_scale.at[layer, wpage, woff].set(masked(vs, new_cache.v_scale)),
+                flat=new_cache.flat,
+            )
+            # gathered logical window view [win, Hkv, hd] (prefix pages +
+            # this suffix's just-written pages — the documented paged-gather
+            # tradeoff, see paged_kv.py)
+            k_all = new_cache.k[layer, row].reshape(l_virt, p.n_kv_heads, p.head_dim)
+            v_all = new_cache.v[layer, row].reshape(l_virt, p.n_kv_heads, p.head_dim)
+            n_rep = p.n_heads // p.n_kv_heads
+            qg = q[0].reshape(c, p.n_kv_heads, n_rep, p.head_dim)
+            cdt = jnp.float32 if k_all.dtype == jnp.float32 else jnp.bfloat16
+            scores = jnp.einsum(
+                "cgrd,lgd->cgrl", qg.astype(cdt), k_all.astype(cdt),
+                preferred_element_type=jnp.float32,
+            )  # [C, Hkv, rep, win]
+            if new_cache.quantized:
+                ksc = new_cache.k_scale[layer, row].reshape(l_virt, p.n_kv_heads)
+                scores = scores * jnp.transpose(ksc, (1, 0))[None, :, None, :]
+            scores = scores / math.sqrt(p.head_dim)
+            scores = jnp.where(mask[:, None, None, :], scores, -1e30)
+            probs = jax.nn.softmax(scores, axis=-1)
+            if new_cache.quantized:
+                vsc = new_cache.v_scale[layer, row].reshape(l_virt, p.n_kv_heads)
+                probs = probs * jnp.transpose(vsc, (1, 0))[None, :, None, :]
+            out = jnp.einsum(
+                "cgrl,lgd->cgrd", probs.astype(cdt), v_all.astype(cdt),
+                preferred_element_type=jnp.float32,
+            )
+            return out.astype(x.dtype).reshape(b, c, p.n_heads * p.head_dim)
+
+        x = _forward_block(params, pre, x, p, attn_fn)
+
+    last = jnp.take_along_axis(x, (length - 1)[None, None, None], axis=1)[:, 0, :]
+    return _logits(params, last, p), new_cache
+
+
 def decode_step_paged(params, p: LlamaParams, tokens: jax.Array, cache,
                       page_table: jax.Array, positions: jax.Array,
                       window: Optional[int] = None):
@@ -834,6 +945,20 @@ def decode_step_paged(params, p: LlamaParams, tokens: jax.Array, cache,
             use_kernel = _decode_attn_mode(p) == "pallas" and ps % 8 == 0
             if use_kernel and jax.devices()[0].platform == "tpu" and not new_cache.flat:
                 use_kernel = False  # see decode_step: 5D + pallas = relayout copies
+            attn_mesh = None
+            if use_kernel:
+                # under a multi-chip mesh the paged kernel runs as a
+                # shard_map island (pool tp-sharded over kv-heads, slots
+                # over dp) when shapes divide, else the XLA gather path
+                from tpuserve.parallel.sharding import (
+                    active_mesh, can_shard_decode_attention)
+
+                mesh = active_mesh()
+                if mesh is not None and mesh.devices.size > 1:
+                    if can_shard_decode_attention(mesh, s, p.n_kv_heads):
+                        attn_mesh = mesh
+                    else:
+                        use_kernel = False
             if use_kernel:
                 # paged wide kernel: page indirection rides the scalar-
                 # prefetch channel; pages stream from the pool IN PLACE —
@@ -841,7 +966,7 @@ def decode_step_paged(params, p: LlamaParams, tokens: jax.Array, cache,
                 # extra HBM pass per layer)
                 from tpuserve.ops.decode_attention import decode_attention_wide_paged
 
-                out = decode_attention_wide_paged(
+                args = (
                     q / math.sqrt(p.head_dim),
                     new_cache.k,
                     new_cache.v,
@@ -850,8 +975,14 @@ def decode_step_paged(params, p: LlamaParams, tokens: jax.Array, cache,
                     page_table,
                     positions,
                     layer,
-                    window=l_virt,
                 )
+                if attn_mesh is not None:
+                    from tpuserve.parallel.sharding import decode_attention_paged_sharded
+
+                    out = decode_attention_paged_sharded(
+                        *args, attn_mesh, window=l_virt)
+                else:
+                    out = decode_attention_wide_paged(*args, window=l_virt)
                 return out.astype(x.dtype).reshape(s, p.n_heads * p.head_dim)
 
             # gather the logical per-slot view from the page pool

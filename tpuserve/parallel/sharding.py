@@ -220,11 +220,88 @@ def decode_attention_sharded(
     )(q, k_full, v_full, positions)
 
 
+def decode_attention_paged_sharded(
+    q: jax.Array,
+    k_pool: jax.Array,
+    v_pool: jax.Array,
+    k_scale_g,
+    v_scale_g,
+    page_table: jax.Array,
+    positions: jax.Array,
+    layer,
+    mesh: Mesh,
+    *,
+    window: Optional[int] = None,
+) -> jax.Array:
+    """decode_attention_wide_paged per (dp, tp) shard.
+
+    The page pool is a GLOBAL resource: page ids in any slot's table may
+    reference any pool page (prefix sharing even aliases pages across
+    slots), so the pool shards only its W/head dim over tp and is
+    replicated across dp; slots (q, tables, positions, gathered scales)
+    ride dp. Same zero-collective GQA split as decode_attention_sharded.
+    """
+    from jax.experimental.shard_map import shard_map
+
+    from tpuserve.ops.decode_attention import decode_attention_wide_paged
+
+    flat = k_pool.ndim == 4
+    pool_spec = P(None, None, None, "tp") if flat else P(None, None, None, "tp", None)
+    q_spec = P("dp", "tp", None)
+    pt_spec = P("dp", None)
+    pos_spec = P("dp")
+    if k_scale_g is not None:
+        sc_spec = P("dp", None, "tp")  # gathered [S, win, Hkv]
+
+        def body(ql, kl, vl, ksl, vsl, ptl, posl):
+            return decode_attention_wide_paged(
+                ql, kl, vl, ksl, vsl, ptl, posl, layer, window=window)
+
+        return shard_map(
+            body, mesh=mesh,
+            in_specs=(q_spec, pool_spec, pool_spec, sc_spec, sc_spec,
+                      pt_spec, pos_spec),
+            out_specs=q_spec, check_rep=False,
+        )(q, k_pool, v_pool, k_scale_g, v_scale_g, page_table, positions)
+
+    def body(ql, kl, vl, ptl, posl):
+        return decode_attention_wide_paged(
+            ql, kl, vl, None, None, ptl, posl, layer, window=window)
+
+    return shard_map(
+        body, mesh=mesh,
+        in_specs=(q_spec, pool_spec, pool_spec, pt_spec, pos_spec),
+        out_specs=q_spec, check_rep=False,
+    )(q, k_pool, v_pool, page_table, positions)
+
+
 def cache_pspec() -> KVCache:
     """PartitionSpecs for the KVCache pytree: [layers, S, L, Hkv, hd]."""
     kv = P(None, "dp", None, "tp", None)
     sc = P(None, "dp", None, "tp")
     return KVCache(k=kv, v=kv, k_scale=sc, v_scale=sc)
+
+
+def shard_paged_cache(cache, mesh: Mesh):
+    """Place a PagedKVCache on the mesh: the page pool shards kv-heads (W)
+    over tp and replicates across dp — pages are a global pool addressed by
+    per-slot tables (which ride dp), so the pool cannot split over slots.
+    dp > 1 therefore costs dp x pool HBM; TP-only meshes (the 70B case) pay
+    nothing extra."""
+    from tpuserve.serving.paged_kv import PagedKVCache
+
+    if cache.flat:
+        kv = NamedSharding(mesh, P(None, None, None, "tp"))
+    else:
+        kv = NamedSharding(mesh, P(None, None, None, "tp", None))
+    sc = NamedSharding(mesh, P(None, None, None, "tp"))
+    return PagedKVCache(
+        k=jax.device_put(cache.k, kv),
+        v=jax.device_put(cache.v, kv),
+        k_scale=None if cache.k_scale is None else jax.device_put(cache.k_scale, sc),
+        v_scale=None if cache.v_scale is None else jax.device_put(cache.v_scale, sc),
+        flat=cache.flat,
+    )
 
 
 def shard_cache(cache: KVCache, mesh: Mesh) -> KVCache:

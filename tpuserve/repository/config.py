@@ -125,6 +125,12 @@ class GenerationConfig:
     # many tokens, one chunk between decode steps, so a long admission
     # cannot freeze the decode batch. 0 = off (whole-bucket prefill).
     prefill_chunk: int = 0
+    # Prefix sharing (paged mode only): admissions reuse the KV pages of
+    # previously seen prompt prefixes at full-page granularity — exact
+    # token match via a hash chain, refcounted pages, LRU eviction of
+    # unreferenced blocks under pool pressure. Matched tokens skip prefill
+    # compute AND page allocation (vLLM-style automatic prefix caching).
+    prefix_sharing: bool = False
     # Fused decode horizon: when no admissions are pending, run up to this
     # many decode+sample steps inside ONE device dispatch (lax.scan) —
     # host round-trips cost ~4 ms each on remote-device setups, a large

@@ -99,6 +99,7 @@ class GenerationEngine:
         self._chunk_size = int(getattr(gen, "prefill_chunk", 0))
         self._chunking: Optional[Dict] = None
         self._prefill_chunk_jit = None
+        self._prefill_suffix_jit = None  # paged prefix-sharing suffix prefill
         self._thread: Optional[threading.Thread] = None
         self._running = False
         self._req_ids = itertools.count(1)
@@ -213,11 +214,25 @@ class GenerationEngine:
             ps = int(gen.page_size)
             max_pages = -(-self.max_seq_len // ps)
             num_pages = int(gen.num_pages) or self.n_slots * max_pages + 1
+            flat = llama.preferred_cache_flat(self.p, self.max_seq_len)
+            if flat and self.mesh is not None:
+                from tpuserve.parallel.sharding import can_shard_decode_attention
+
+                flat = can_shard_decode_attention(
+                    self.mesh, self.n_slots, p.n_kv_heads)
             self.cache = PagedKVCache.create(
-                self.p, num_pages, ps, quantized=quant_kv,
-                flat=llama.preferred_cache_flat(self.p, self.max_seq_len),
+                self.p, num_pages, ps, quantized=quant_kv, flat=flat,
             )
-            self.ptm = PageTableManager(num_pages, ps, self.n_slots, self.max_seq_len)
+            if self.mesh is not None:
+                # pool: kv-heads over tp, replicated across dp (pages are a
+                # global resource addressed by per-slot tables — see
+                # shard_paged_cache; dp > 1 costs dp x pool HBM)
+                from tpuserve.parallel.sharding import shard_paged_cache
+
+                self.cache = shard_paged_cache(self.cache, self.mesh)
+            self.ptm = PageTableManager(
+                num_pages, ps, self.n_slots, self.max_seq_len,
+                prefix_sharing=bool(getattr(gen, "prefix_sharing", False)))
         else:
             # flat (kernel) layout also under a mesh when the shard_map
             # island's divisibility holds (decode_attention_sharded);
@@ -237,13 +252,20 @@ class GenerationEngine:
 
                 self.cache = shard_cache(self.cache, self.mesh)
             self.ptm = None
-        if self.mesh is not None and gen.paged:
-            raise BackendError("paged KV cache is single-chip for now; disable sharding or paged")
-
         if gen.paged:
 
             def prefill_fn(params, tokens, cache, table, slot, length):
                 return llama.prefill_paged(params, p, tokens, cache, table, slot, length)
+
+            def prefill_suffix_fn(params, tokens, cache, table, slot, start,
+                                  length, window):
+                return llama.prefill_paged_suffix(
+                    params, p, tokens, cache, table, slot, start, length,
+                    window=window)
+
+            self._prefill_suffix_jit = jax.jit(
+                prefill_suffix_fn, donate_argnums=(2,),
+                static_argnames=("window",))
 
             def decode_fn(params, tokens, cache, table, positions, sampling, key, window):
                 logits, cache = llama.decode_step_paged(
@@ -386,6 +408,10 @@ class GenerationEngine:
         }
         if self.ptm is not None:
             stats["kv_free_pages"] = self.ptm.free_pages
+            if self.ptm.prefix_sharing:
+                stats["prefix_cached_blocks"] = self.ptm.cached_blocks
+                stats["prefix_hits"] = self.ptm.prefix_hits
+                stats["prefix_hit_tokens"] = self.ptm.prefix_hit_tokens
             stats["kv_page_size"] = self.ptm.page_size
         return stats
 
@@ -459,15 +485,43 @@ class GenerationEngine:
         tokens = np.zeros((1, bucket), np.int32)
         tokens[0, :l] = req.prompt_ids
         if self.ptm is not None:
-            self.ptm.ensure(slot, bucket)  # raises ResourceExhaustedError
-            logits, self.cache = self._prefill_jit(
-                self.params,
-                jnp.asarray(tokens),
-                self.cache,
-                self.ptm.device_table(),
-                jnp.int32(slot),
-                jnp.int32(l),
-            )
+            # prefix sharing: install matched/registered shared pages at the
+            # head of the slot's row, then allocate private pages for the rest
+            shared, matched = self.ptm.admit_shared(slot, req.prompt_ids)
+            try:
+                self.ptm.ensure(slot, bucket)  # raises ResourceExhaustedError
+            except Exception:
+                self.ptm.release(slot)  # drop the shared refs taken above
+                raise
+            if matched > 0:
+                # matched pages already hold valid KV: prefill only the
+                # suffix (page-aligned start), skipping `matched` tokens of
+                # compute and page writes
+                suffix = req.prompt_ids[matched:]
+                cb = self._bucket_len(len(suffix))
+                stoks = np.zeros((1, cb), np.int32)
+                stoks[0, : len(suffix)] = suffix
+                ps = self.ptm.page_size
+                win = -(-min(matched + cb, self.max_seq_len) // ps) * ps
+                logits, self.cache = self._prefill_suffix_jit(
+                    self.params,
+                    jnp.asarray(stoks),
+                    self.cache,
+                    self.ptm.device_table(),
+                    jnp.int32(slot),
+                    jnp.int32(matched),
+                    jnp.int32(len(suffix)),
+                    window=win,
+                )
+            else:
+                logits, self.cache = self._prefill_jit(
+                    self.params,
+                    jnp.asarray(tokens),
+                    self.cache,
+                    self.ptm.device_table(),
+                    jnp.int32(slot),
+                    jnp.int32(l),
+                )
         else:
             logits, self.cache = self._prefill_jit(
                 self.params,

@@ -157,9 +157,21 @@ class PageTableManager:
 
     Page index 0 is the reserved zero page (never allocated) so -1 / unused
     table entries gather zeros, which the attention mask already ignores.
+
+    Optional prefix sharing (``prefix_sharing=True``): full prompt pages are
+    content-addressed by a rolling hash chain; an admission whose leading
+    full pages match previously registered blocks reuses those pages
+    (refcount++) and skips both their allocation and their prefill. Shared
+    blocks are owned by synthetic allocator handles (>= n_slots, one page
+    each — the native allocator keys chains by arbitrary int64 seq ids);
+    refcount-0 blocks stay cached and are LRU-evicted under pool pressure.
+    Exactness: K/V at a position depends only on (weights, token ids up to
+    that position, position), so an exact-match prefix's pages are
+    bit-identical to what a fresh prefill would write.
     """
 
-    def __init__(self, n_pages: int, page_size: int, n_slots: int, max_len: int):
+    def __init__(self, n_pages: int, page_size: int, n_slots: int, max_len: int,
+                 prefix_sharing: bool = False):
         if n_pages < 2:
             raise ValueError("need at least 2 pages (page 0 is reserved)")
         # page 0 reserved: hand the allocator n_pages-1 pages, shift ids by 1
@@ -171,25 +183,145 @@ class PageTableManager:
 
         self._np = np
         self.table = np.zeros((n_slots, self.max_pages), np.int32)  # 0 = zero page
+        self.prefix_sharing = bool(prefix_sharing)
+        # digest -> block record {"handle", "page" (0-based pool id),
+        # "refs", "tick"}; insertion order is irrelevant, LRU uses tick
+        self._blocks: Dict[bytes, Dict] = {}
+        self._slot_shared: Dict[int, List[bytes]] = {}  # slot -> digests held
+        self._next_handle = n_slots  # synthetic allocator seq ids
+        self._tick = 0
+        self.prefix_hits = 0          # blocks served from cache
+        self.prefix_hit_tokens = 0    # prompt tokens skipped via sharing
 
     @property
     def free_pages(self) -> int:
         return self._alloc.free_pages
 
-    def ensure(self, slot: int, num_tokens: int) -> None:
-        """Grow slot's chain to cover num_tokens; raises ResourceExhaustedError
-        when the pool is out of pages."""
-        if not self._alloc.ensure(slot, num_tokens):
-            raise ResourceExhaustedError(
-                f"KV page pool exhausted ({self._alloc.free_pages} pages free)"
-            )
-        chain = self._alloc.page_table(slot) or []
+    @property
+    def cached_blocks(self) -> int:
+        return len(self._blocks)
+
+    # -------------------------------------------------------- prefix sharing
+    @staticmethod
+    def _digest_chain(prompt_ids, page_size: int, n_blocks: int) -> List[bytes]:
+        """Rolling digests of the first n_blocks full pages: block i's digest
+        commits to ALL tokens in pages 0..i (chain), so a match implies the
+        entire prefix matches, not just that one page."""
+        import hashlib
+
+        import numpy as np
+
+        out = []
+        prev = b""
+        for i in range(n_blocks):
+            blk = np.asarray(prompt_ids[i * page_size : (i + 1) * page_size],
+                             np.int32)
+            h = hashlib.blake2b(digest_size=16)
+            h.update(prev)
+            h.update(blk.tobytes())
+            prev = h.digest()
+            out.append(prev)
+        return out
+
+    def _evict_lru(self) -> bool:
+        """Free ONE refcount-0 cached block (least recently used)."""
+        victim = None
+        for d, rec in self._blocks.items():
+            if rec["refs"] == 0 and (victim is None or rec["tick"] < self._blocks[victim]["tick"]):
+                victim = d
+        if victim is None:
+            return False
+        rec = self._blocks.pop(victim)
+        self._alloc.release(rec["handle"])
+        return True
+
+    def _alloc_one_shared(self) -> Optional[Tuple[int, int]]:
+        """Allocate one page under a fresh synthetic handle; evict LRU
+        refcount-0 blocks as needed. Returns (handle, 0-based page id)."""
+        handle = self._next_handle
+        while not self._alloc.ensure(handle, 1):
+            if not self._evict_lru():
+                return None
+        self._next_handle += 1
+        chain = self._alloc.page_table(handle)
+        return handle, chain[0]
+
+    def admit_shared(self, slot: int, prompt_ids) -> Tuple[int, int]:
+        """Match/register the prompt's full pages in the prefix cache and
+        install them at the head of the slot's table row.
+
+        Returns (shared_tokens, matched_tokens): the first shared_tokens of
+        the prompt live in shared pages (matched ones already hold valid KV;
+        newly registered ones will be written by this admission's prefill);
+        matched_tokens of those can SKIP prefill compute. The final prompt
+        token is never shared, so prefill always has >= 1 token to produce
+        the first-token logits from. No-op unless prefix_sharing."""
+        if not self.prefix_sharing:
+            return 0, 0
+        ps = self.page_size
+        l = len(prompt_ids)
+        n_blocks = min((l - 1) // ps, self.max_pages)
+        if n_blocks <= 0:
+            return 0, 0
+        digests = self._digest_chain(prompt_ids, ps, n_blocks)
+        held: List[bytes] = []
+        pages: List[int] = []
+        matched = 0
+        self._tick += 1
+        still_matching = True
+        for i, d in enumerate(digests):
+            rec = self._blocks.get(d)
+            if rec is not None:
+                rec["refs"] += 1
+                rec["tick"] = self._tick
+                held.append(d)
+                pages.append(rec["page"])
+                if still_matching:
+                    matched += 1
+                continue
+            still_matching = False
+            got = self._alloc_one_shared()
+            if got is None:
+                break  # pool pressure: rest of the prompt goes private
+            handle, page = got
+            self._blocks[d] = {"handle": handle, "page": page, "refs": 1,
+                               "tick": self._tick}
+            held.append(d)
+            pages.append(page)
+        self._slot_shared[slot] = held
         row = self._np.zeros((self.max_pages,), self._np.int32)
-        row[: len(chain)] = self._np.asarray(chain, self._np.int32) + 1  # shift past zero page
+        row[: len(pages)] = self._np.asarray(pages, self._np.int32) + 1
+        self.table[slot] = row
+        self.prefix_hits += matched
+        self.prefix_hit_tokens += matched * ps
+        return len(held) * ps, matched * ps
+
+    # ------------------------------------------------------------- allocation
+    def ensure(self, slot: int, num_tokens: int) -> None:
+        """Grow slot's chain to cover num_tokens (beyond any shared prefix
+        installed by admit_shared); raises ResourceExhaustedError when the
+        pool is out of pages (after evicting every unreferenced cached
+        block)."""
+        n_shared = len(self._slot_shared.get(slot, ()))
+        need_tokens = max(0, num_tokens - n_shared * self.page_size)
+        while not self._alloc.ensure(slot, need_tokens):
+            if not self._evict_lru():
+                raise ResourceExhaustedError(
+                    f"KV page pool exhausted ({self._alloc.free_pages} pages free)"
+                )
+        chain = self._alloc.page_table(slot) or []
+        row = self.table[slot].copy()
+        row[n_shared:] = 0
+        row[n_shared : n_shared + len(chain)] = (
+            self._np.asarray(chain, self._np.int32) + 1)  # shift past zero page
         self.table[slot] = row
 
     def release(self, slot: int) -> None:
         self._alloc.release(slot)
+        for d in self._slot_shared.pop(slot, ()):  # decref, keep cached
+            rec = self._blocks.get(d)
+            if rec is not None:
+                rec["refs"] = max(0, rec["refs"] - 1)
         self.table[slot] = 0
 
     def device_table(self) -> jax.Array:
