@@ -340,3 +340,151 @@ class TestShardedEngine:
             finally:
                 eng.stop()
         assert outs["pg_solo"] == outs["pg_tp4dp2"]
+
+class TestSequenceParallel:
+    """Long-context sequence parallelism: KV length (L) sharded over the
+    "sp" mesh axis, per-shard partial softmax merged flash-decoding style
+    (pmax + psum over "sp") — SURVEY §2b's long-context row."""
+
+    def test_make_mesh_sp_axes(self):
+        mesh = make_mesh(tp=2, dp=2, sp=2)
+        assert mesh.axis_names == ("dp", "sp", "tp")
+        assert mesh.devices.shape == (2, 2, 2)
+
+    @pytest.mark.parametrize("quantized", [True, False])
+    def test_seq_island_matches_unsharded(self, quantized):
+        """decode_attention_seq_sharded on a (dp, sp, tp) mesh == the
+        single-chip wide kernel (interpret) on the full window."""
+        from tpuserve.ops.decode_attention import decode_attention_wide_cache
+        from tpuserve.parallel.sharding import decode_attention_seq_sharded
+
+        rng = np.random.default_rng(11)
+        n_layers, s, l, n_kv, rep, hd = 2, 4, 64, 4, 2, 32
+        h = n_kv * rep
+        q = jnp.asarray((rng.normal(size=(s, h, hd)) / np.sqrt(hd)).astype(np.float32))
+        if quantized:
+            k = jnp.asarray(rng.integers(-127, 127, size=(n_layers, s, l, n_kv, hd)).astype(np.int8))
+            v = jnp.asarray(rng.integers(-127, 127, size=(n_layers, s, l, n_kv, hd)).astype(np.int8))
+            ks = jnp.asarray(rng.uniform(0.001, 0.02, size=(n_layers, s, l, n_kv)).astype(np.float32))
+            vs = jnp.asarray(rng.uniform(0.001, 0.02, size=(n_layers, s, l, n_kv)).astype(np.float32))
+        else:
+            k = jnp.asarray(rng.normal(size=(n_layers, s, l, n_kv, hd)).astype(np.float32))
+            v = jnp.asarray(rng.normal(size=(n_layers, s, l, n_kv, hd)).astype(np.float32))
+            ks = vs = None
+        # positions exercise: shard-boundary-1, inactive, full window, and a
+        # slot whose context ends inside the FIRST shard (later shards fully
+        # masked -> their fake mass must vanish in the merge)
+        positions = jnp.asarray(np.array([31, -1, l - 1, 7], np.int32))
+        layer = 1
+        ref = np.asarray(decode_attention_wide_cache(
+            q, k, v,
+            None if ks is None else ks[layer],
+            None if vs is None else vs[layer],
+            positions, layer, interpret=True))
+        mesh = make_mesh(tp=2, dp=2, sp=2)
+        out = np.asarray(decode_attention_seq_sharded(
+            q, k[layer], v[layer],
+            None if ks is None else ks[layer],
+            None if vs is None else vs[layer],
+            positions, mesh))
+        tol = dict(rtol=5e-2, atol=1e-2) if quantized else dict(rtol=1e-5, atol=1e-6)
+        np.testing.assert_allclose(out, ref, **tol)
+
+    def test_decode_step_sp_matches_single_device(self):
+        """Full decode_step under an active sp mesh == unsharded."""
+        from tpuserve.parallel.sharding import set_active_mesh
+
+        params = llama.init_params(jax.random.PRNGKey(1), P_TINY, dtype=jnp.float32)
+        n_slots, max_len = 4, 32
+        tokens = jnp.array([7, 9, 0, 3], jnp.int32)
+        positions = jnp.array([0, 0, -1, 0], jnp.int32)
+        cache0 = KVCache.create(P_TINY, n_slots, max_len, quantized=False, dtype=jnp.float32)
+        ref_logits, _ = llama.decode_step(params, P_TINY, tokens, cache0, positions)
+
+        mesh = make_mesh(tp=2, dp=2, sp=2)
+        sparams = shard_llama_params(params, mesh)
+        scache = shard_cache(
+            KVCache.create(P_TINY, n_slots, max_len, quantized=False, dtype=jnp.float32), mesh)
+        stokens = jax.device_put(tokens, NamedSharding(mesh, P("dp")))
+        spos = jax.device_put(positions, NamedSharding(mesh, P("dp")))
+        set_active_mesh(mesh)
+        try:
+            def decode(params, tokens, cache, positions):
+                return llama.decode_step(params, P_TINY, tokens, cache, positions)
+
+            logits, _ = jax.jit(decode)(sparams, stokens, scache, spos)
+        finally:
+            set_active_mesh(None)
+        np.testing.assert_allclose(
+            np.asarray(logits), np.asarray(ref_logits), rtol=1e-4, atol=1e-4)
+
+    def test_engine_sp_matches_unsharded(self, tmp_path):
+        """End-to-end: an sp-sharded engine (with dp x tp too) generates the
+        same greedy tokens as the single-device engine, across prompts long
+        enough to span multiple sp shards."""
+        import json
+        import os
+
+        from tpuserve.repository.config import ModelConfig
+        from tpuserve.serving.engine import GenerationEngine
+
+        base = {
+            "platform": "llm", "architecture": "llama",
+            "model_params": {"vocab_size": 128, "dim": 32, "n_layers": 2,
+                              "n_heads": 8, "n_kv_heads": 4, "head_dim": 8,
+                              "ffn_dim": 64, "init": "random"},
+            "generation": {"max_seq_len": 64, "max_slots": 4, "eos_token_id": 2,
+                            "max_new_tokens": 6},
+            "quantization": {"weights": "int8", "group_size": 16, "kv_cache": "int8"},
+        }
+        prompt = [5, 17, 100, 9, 42, 3, 77, 8, 23, 60, 11, 2 + 70, 31, 19, 90, 44,
+                  5, 17, 100, 9, 42, 3, 77, 8, 23, 60, 11, 72, 31, 19, 90, 45,
+                  7, 13, 101, 22, 40]  # 37 tokens: spans >2 sp shards of 8
+        outs = {}
+        for name, sharding in (
+            ("sp_solo", {}),
+            ("sp8", {"sequence_parallel": 8}),
+            ("sp2tp2dp2", {"tensor_parallel": 2, "data_parallel": 2,
+                            "sequence_parallel": 2}),
+        ):
+            vdir = os.path.join(str(tmp_path), name, "1")
+            os.makedirs(vdir)
+            cfg = dict(base, name=name, sharding=sharding)
+            with open(os.path.join(vdir, "config.json"), "w") as f:
+                json.dump(cfg, f)
+            eng = GenerationEngine(vdir, ModelConfig.from_file(os.path.join(vdir, "config.json")))
+            eng.start()
+            try:
+                if sharding:
+                    assert eng.mesh is not None
+                    assert "sp" in eng.mesh.axis_names
+                outs[name] = eng.generate(prompt, max_new_tokens=5)["output_ids"]
+            finally:
+                eng.stop()
+        assert outs["sp_solo"] == outs["sp8"]
+        assert outs["sp_solo"] == outs["sp2tp2dp2"]
+
+    def test_sp_rejects_paged(self, tmp_path):
+        import json
+        import os
+
+        from tpuserve.repository.config import ModelConfig
+        from tpuserve.serving.engine import GenerationEngine
+        from tpuserve.utils.errors import BackendError
+
+        vdir = os.path.join(str(tmp_path), "sp_paged", "1")
+        os.makedirs(vdir)
+        cfg = {
+            "name": "sp_paged", "platform": "llm", "architecture": "llama",
+            "model_params": {"vocab_size": 128, "dim": 32, "n_layers": 2,
+                              "n_heads": 8, "n_kv_heads": 4, "head_dim": 8,
+                              "ffn_dim": 64, "init": "random"},
+            "generation": {"max_seq_len": 64, "max_slots": 4, "paged": True,
+                            "page_size": 16},
+            "sharding": {"sequence_parallel": 8},
+        }
+        with open(os.path.join(vdir, "config.json"), "w") as f:
+            json.dump(cfg, f)
+        eng = GenerationEngine(vdir, ModelConfig.from_file(os.path.join(vdir, "config.json")))
+        with pytest.raises(BackendError):
+            eng.start()

@@ -581,6 +581,30 @@ def decode_step(params, p: LlamaParams, tokens: jax.Array, cache: KVCache,
                 flat=new_cache.flat,
             )
 
+            from tpuserve.parallel.sharding import active_mesh, mesh_sp
+
+            if mesh_sp(active_mesh()) > 1:
+                # sequence-parallel long context: KV length sharded over the
+                # "sp" mesh axis, per-shard partial softmax merged with one
+                # pmax + two psums (flash-decoding). Reads the full L (the
+                # window bucket is a per-chip HBM optimization; under sp the
+                # per-shard window is already L/sp and a sub-L slice of a
+                # sharded dim would force a resharding gather).
+                from tpuserve.parallel.sharding import decode_attention_seq_sharded
+
+                k_l, v_l = new_cache.k[layer], new_cache.v[layer]
+                if new_cache.flat:
+                    # engine forces 5D cache under sp; direct callers with a
+                    # flat cache pay the relayout here (documented fallback)
+                    k_l = k_l.reshape(s, l_max, p.n_kv_heads, p.head_dim)
+                    v_l = v_l.reshape(s, l_max, p.n_kv_heads, p.head_dim)
+                out = decode_attention_seq_sharded(
+                    q / math.sqrt(p.head_dim), k_l, v_l,
+                    new_cache.k_scale[layer] if new_cache.quantized else None,
+                    new_cache.v_scale[layer] if new_cache.quantized else None,
+                    positions, active_mesh())
+                return out.astype(x.dtype).reshape(s, p.n_heads * p.head_dim)
+
             attn_mode = _decode_attn_mode(p)
             attn_mesh = None
             if attn_mode == "pallas":

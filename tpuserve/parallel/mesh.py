@@ -30,12 +30,22 @@ def mesh_devices(n: Optional[int] = None) -> List:
     return devs
 
 
-def make_mesh(tp: int = 1, dp: int = 1, devices: Optional[Sequence] = None) -> Mesh:
-    """Mesh with axes ("dp", "tp"). tp should map to the fastest (ICI-
-    adjacent) axis, so it is the minor mesh dimension."""
-    devs = list(devices) if devices is not None else mesh_devices(tp * dp)
-    if len(devs) != tp * dp:
-        raise ValueError(f"need {tp * dp} devices for dp={dp} tp={tp}, have {len(devs)}")
+def make_mesh(tp: int = 1, dp: int = 1, sp: int = 1,
+              devices: Optional[Sequence] = None) -> Mesh:
+    """Mesh with axes ("dp", "tp") — or ("dp", "sp", "tp") when sp > 1.
+
+    tp should map to the fastest (ICI-adjacent) axis, so it is the minor
+    mesh dimension; "sp" (sequence parallel — KV length shards) sits between
+    it and "dp" so the per-token flash-decoding merge collectives
+    (pmax/psum over "sp") ride near-neighbour ICI links."""
+    n = tp * dp * sp
+    devs = list(devices) if devices is not None else mesh_devices(n)
+    if len(devs) != n:
+        raise ValueError(
+            f"need {n} devices for dp={dp} sp={sp} tp={tp}, have {len(devs)}")
+    if sp > 1:
+        arr = np.array(devs).reshape(dp, sp, tp)
+        return Mesh(arr, axis_names=("dp", "sp", "tp"))
     arr = np.array(devs).reshape(dp, tp)
     return Mesh(arr, axis_names=("dp", "tp"))
 

@@ -160,12 +160,22 @@ def qmatmul_sharded(x: jax.Array, qt: QTensor, name: str, mesh: Mesh) -> jax.Arr
 # kernel's per-slot DMA skip win under TP x DP serving.
 
 
+def mesh_sp(mesh: Optional[Mesh]) -> int:
+    """Size of the sequence-parallel axis (1 when absent / no mesh)."""
+    if mesh is None:
+        return 1
+    return int(mesh.shape.get("sp", 1))
+
+
 def can_shard_decode_attention(mesh: Mesh, s_dim: int, n_kv_heads: int) -> bool:
     """The kernel island needs whole slots per dp shard and whole kv-head
-    groups per tp shard (W splits on head boundaries iff Hkv % tp == 0)."""
+    groups per tp shard (W splits on head boundaries iff Hkv % tp == 0).
+    Sequence-parallel meshes route to decode_attention_seq_sharded instead
+    (the wide kernel returns normalized outputs, not the partial softmax
+    stats the sp merge needs)."""
     dp = mesh.shape.get("dp", 1)
     tp = mesh.shape.get("tp", 1)
-    return s_dim % dp == 0 and n_kv_heads % tp == 0
+    return s_dim % dp == 0 and n_kv_heads % tp == 0 and mesh_sp(mesh) == 1
 
 
 def decode_attention_sharded(
@@ -275,10 +285,103 @@ def decode_attention_paged_sharded(
     )(q, k_pool, v_pool, page_table, positions)
 
 
-def cache_pspec() -> KVCache:
-    """PartitionSpecs for the KVCache pytree: [layers, S, L, Hkv, hd]."""
-    kv = P(None, "dp", None, "tp", None)
-    sc = P(None, "dp", None, "tp")
+def decode_attention_seq_sharded(
+    q: jax.Array,
+    k_l: jax.Array,
+    v_l: jax.Array,
+    k_scale_l,
+    v_scale_l,
+    positions: jax.Array,
+    mesh: Mesh,
+) -> jax.Array:
+    """Sequence-parallel GQA decode attention: KV length (L) sharded over
+    the "sp" mesh axis, flash-decoding style merge.
+
+    Each sp shard scores q against its LOCAL L window (global key position
+    = shard_index * L_local + local index), keeps unnormalized partials
+    (o_i = P_i @ V_i, row max m_i, mass s_i = sum exp(score - m_i)), and the
+    shards merge with one pmax + two psums over "sp" on [S, H]-sized stats —
+    O(S*H*hd) bytes over ICI per layer vs O(S*L*W) HBM reads per shard, so
+    long contexts scale to sp x the per-chip HBM. Composes with dp (slots)
+    and tp (kv-head groups) on a ("dp", "sp", "tp") mesh.
+
+    q [S, H, hd] pre-scaled by 1/sqrt(hd); k_l/v_l THIS layer's cache
+    [S, L, Hkv, hd] (int8/bf16/f32); scales [S, L, Hkv] f32 or None;
+    positions [S] int32 (-1 = inactive). Returns [S, H, hd] f32.
+
+    Masked rows use -1e30 (not -inf) so a shard whose whole window is
+    beyond a slot's position contributes m_i = -1e30 => exp(m_i - m_g)
+    underflows to 0 and its fake mass vanishes in the merge; fully inactive
+    slots produce finite garbage that decode_step's `active` mask discards.
+    """
+    from jax.experimental.shard_map import shard_map
+
+    import jax.numpy as jnp
+
+    hd = q.shape[2]
+    quantized = k_scale_l is not None
+
+    def _partial(ql, kl, vl, ksl, vsl, posl):
+        sl, hl, _ = ql.shape
+        lloc = kl.shape[1]
+        hkv_l = kl.shape[2]
+        rep_l = hl // hkv_l
+        l_off = jax.lax.axis_index("sp") * lloc
+        qg = ql.reshape(sl, hkv_l, rep_l, hd)
+        cdt = jnp.float32 if kl.dtype == jnp.float32 else jnp.bfloat16
+        scores = jnp.einsum(
+            "shrd,slhd->shrl", qg.astype(cdt), kl.astype(cdt),
+            preferred_element_type=jnp.float32)  # [S, Hkv, rep, Lloc]
+        if ksl is not None:
+            scores = scores * jnp.transpose(ksl, (0, 2, 1))[:, :, None, :]
+        kpos = l_off + jnp.arange(lloc, dtype=jnp.int32)
+        mask = kpos[None, :] <= posl[:, None]  # [S, Lloc] global causal
+        scores = jnp.where(mask[:, None, None, :], scores, -1e30)
+        m = jnp.max(scores, axis=-1)                      # [S, Hkv, rep]
+        probs = jnp.exp(scores - m[..., None])
+        ssum = jnp.sum(probs, axis=-1)                    # [S, Hkv, rep]
+        if vsl is not None:
+            probs = probs * jnp.transpose(vsl, (0, 2, 1))[:, :, None, :]
+        o = jnp.einsum(
+            "shrl,slhd->shrd", probs.astype(cdt), vl.astype(cdt),
+            preferred_element_type=jnp.float32)           # [S, Hkv, rep, hd]
+        # flash-decoding merge over "sp"
+        m_g = jax.lax.pmax(m, "sp")
+        w = jnp.exp(m - m_g)                              # underflows to 0
+        o = jax.lax.psum(o * w[..., None], "sp")
+        ssum = jax.lax.psum(ssum * w, "sp")
+        out = o / jnp.maximum(ssum, 1e-20)[..., None]
+        out = out.reshape(sl, hl, hd)
+        # inactive slots: every shard was fully masked (uniform fake mass),
+        # zero them to match the wide kernel's contract
+        return jnp.where(posl[:, None, None] >= 0, out, 0.0)
+
+    q_spec = P("dp", "tp", None)
+    kv_spec = P("dp", "sp", "tp", None)
+    pos_spec = P("dp")
+    if quantized:
+        sc_spec = P("dp", "sp", "tp")
+        return shard_map(
+            _partial, mesh=mesh,
+            in_specs=(q_spec, kv_spec, kv_spec, sc_spec, sc_spec, pos_spec),
+            out_specs=q_spec, check_rep=False,
+        )(q, k_l, v_l, k_scale_l, v_scale_l, positions)
+
+    def body(ql, kl, vl, posl):
+        return _partial(ql, kl, vl, None, None, posl)
+
+    return shard_map(
+        body, mesh=mesh, in_specs=(q_spec, kv_spec, kv_spec, pos_spec),
+        out_specs=q_spec, check_rep=False,
+    )(q, k_l, v_l, positions)
+
+
+def cache_pspec(sp: bool = False) -> KVCache:
+    """PartitionSpecs for the KVCache pytree: [layers, S, L, Hkv, hd].
+    sp=True additionally shards L over the "sp" axis (long-context)."""
+    l_ax = "sp" if sp else None
+    kv = P(None, "dp", l_ax, "tp", None)
+    sc = P(None, "dp", l_ax, "tp")
     return KVCache(k=kv, v=kv, k_scale=sc, v_scale=sc)
 
 
@@ -306,12 +409,15 @@ def shard_paged_cache(cache, mesh: Mesh):
 
 def shard_cache(cache: KVCache, mesh: Mesh) -> KVCache:
     # flat layout folds (Hkv, hd) into W; sharding W over tp is the same
-    # byte partition as sharding Hkv (contiguous head groups per shard)
+    # byte partition as sharding Hkv (contiguous head groups per shard).
+    # On an sp mesh the L dim additionally shards over "sp" (long-context:
+    # each shard holds a contiguous L/sp window of every slot).
+    l_ax = "sp" if mesh_sp(mesh) > 1 else None
     if cache.flat:
-        kv = NamedSharding(mesh, P(None, "dp", None, "tp"))
+        kv = NamedSharding(mesh, P(None, "dp", l_ax, "tp"))
     else:
-        kv = NamedSharding(mesh, P(None, "dp", None, "tp", None))
-    sc = NamedSharding(mesh, P(None, "dp", None, "tp"))
+        kv = NamedSharding(mesh, P(None, "dp", l_ax, "tp", None))
+    sc = NamedSharding(mesh, P(None, "dp", l_ax, "tp"))
     return KVCache(
         k=jax.device_put(cache.k, kv),
         v=jax.device_put(cache.v, kv),

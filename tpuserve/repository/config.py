@@ -159,6 +159,10 @@ class ShardingConfig:
 
     tensor_parallel: int = 1
     data_parallel: int = 1
+    # long-context: shard the KV cache's sequence (L) dim over an "sp" mesh
+    # axis; decode attention merges per-shard partial softmax stats
+    # (flash-decoding style) over ICI — see parallel/sharding.py
+    sequence_parallel: int = 1
 
     @classmethod
     def from_dict(cls, d: Optional[Dict[str, Any]]) -> "ShardingConfig":
@@ -166,6 +170,7 @@ class ShardingConfig:
         return cls(
             tensor_parallel=int(d.get("tensor_parallel", 1)),
             data_parallel=int(d.get("data_parallel", 1)),
+            sequence_parallel=int(d.get("sequence_parallel", 1)),
         )
 
     def to_dict(self) -> Dict[str, Any]:

@@ -171,19 +171,32 @@ class GenerationEngine:
             )
         else:
             params = raw
-        # multi-chip placement per config.sharding (TP x DP NamedShardings;
-        # XLA inserts the collectives). 1x1 = plain single-device put.
+        # multi-chip placement per config.sharding (TP x DP [x SP]
+        # NamedShardings; XLA inserts the collectives). 1x1 = plain
+        # single-device put.
         shard = self.config.sharding
+        sp = int(getattr(shard, "sequence_parallel", 1))
         self.mesh = None
-        if shard.tensor_parallel * shard.data_parallel > 1:
+        if shard.tensor_parallel * shard.data_parallel * sp > 1:
             from tpuserve.parallel.mesh import make_mesh
             from tpuserve.parallel.sharding import shard_llama_params
 
-            self.mesh = make_mesh(tp=shard.tensor_parallel, dp=shard.data_parallel)
+            self.mesh = make_mesh(
+                tp=shard.tensor_parallel, dp=shard.data_parallel, sp=sp)
             if self.n_slots % shard.data_parallel != 0:
                 raise BackendError(
                     f"max_slots {self.n_slots} must divide by data_parallel {shard.data_parallel}"
                 )
+            if sp > 1:
+                if self.config.generation.paged:
+                    raise BackendError(
+                        "sequence_parallel does not compose with paged KV "
+                        "(page pools address L dynamically; shard slots/heads "
+                        "via data_parallel/tensor_parallel instead)")
+                if self.max_seq_len % sp != 0:
+                    raise BackendError(
+                        f"max_seq_len {self.max_seq_len} must divide by "
+                        f"sequence_parallel {sp}")
             self.params = shard_llama_params(params, self.mesh)
             # publish the mesh so llama._mm routes QTensor matmuls through
             # the shard_map-wrapped kernel instead of an unpartitionable
@@ -716,6 +729,10 @@ class GenerationEngine:
             # config-gated (generation.decode_buckets levels; 0 = off).
             window = self.max_seq_len
             n_buckets = int(self.config.generation.decode_buckets)
+            from tpuserve.parallel.sharding import mesh_sp
+            if mesh_sp(self.mesh) > 1:
+                n_buckets = 0  # sp decode reads full L (window is ignored
+                # by the seq island; buckets would only add recompiles)
             if n_buckets > 0:
                 last_pos = max_pos + horizon - 1  # last position the scan writes
                 smallest = max(64, self.max_seq_len >> n_buckets)
