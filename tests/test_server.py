@@ -425,3 +425,41 @@ def test_text_generation_without_tokenizer_rejected(api, repo_dir):
         assert "tokenizer" in (await r.json())["error"]
 
     api(body)
+
+
+def test_profile_capture(api, tmp_path):
+    """POST /profile/start + /profile/stop capture a real jax.profiler trace
+    (SURVEY §5 tracing row: the reference had no trace capture at all)."""
+    async def body(c):
+        r = await c.get("/profile")
+        assert r.status == 200 and (await r.json())["active"] is False
+
+        trace_dir = str(tmp_path / "trace")
+        r = await c.post("/profile/start", json={"dir": trace_dir})
+        assert r.status == 200
+        data = await r.json()
+        assert data["status"] == "started" and data["trace_dir"] == trace_dir
+
+        # second start while active -> 409
+        r = await c.post("/profile/start", json={})
+        assert r.status == 409
+
+        r = await c.get("/profile")
+        assert (await r.json())["active"] is True
+
+        # do some device work so the trace has content
+        import jax.numpy as jnp
+        x = jnp.ones((128, 128))
+        (x @ x).block_until_ready()
+
+        r = await c.post("/profile/stop")
+        assert r.status == 200
+        data = await r.json()
+        assert data["status"] == "stopped"
+        assert data["total_bytes"] > 0 and len(data["files"]) > 0
+
+        # stop when inactive -> 400
+        r = await c.post("/profile/stop")
+        assert r.status == 400
+
+    api(body)

@@ -32,7 +32,9 @@ from __future__ import annotations
 import asyncio
 import functools
 import json
+import os
 import queue as _queue
+import tempfile
 import time
 from typing import Dict, List, Optional
 
@@ -504,6 +506,65 @@ async def handle_metrics(request):
     )
 
 
+# ----------------------------------------------------------------- profiling
+# On-demand XLA/TPU trace capture (SURVEY §5's tracing row — the reference
+# had CUDA event timing but no trace capture at all). POST /profile/start
+# begins a jax.profiler trace (TensorBoard/Perfetto format); /profile/stop
+# ends it and returns the artifact listing. One capture at a time.
+_PROFILE_KEY = web.AppKey("tpuserve_profile", dict) if web is not None else None
+
+
+async def handle_profile_status(request):
+    st = request.app[_PROFILE_KEY]
+    return web.json_response({"active": st.get("dir") is not None,
+                              "trace_dir": st.get("dir")})
+
+
+async def handle_profile_start(request):
+    import jax
+
+    st = request.app[_PROFILE_KEY]
+    if st.get("dir") is not None:
+        return _json_error(409, f"profiling already active: {st['dir']}")
+    try:
+        body = await request.json()
+    except Exception:
+        body = {}
+    trace_dir = body.get("dir") or os.path.join(
+        tempfile.gettempdir(), f"tpuserve_trace_{int(time.time())}")
+    try:
+        await _in_thread(jax.profiler.start_trace, trace_dir)
+    except Exception as e:  # pragma: no cover - backend-specific failures
+        return _json_error(500, f"start_trace failed: {e}")
+    st["dir"] = trace_dir
+    return web.json_response({"status": "started", "trace_dir": trace_dir})
+
+
+async def handle_profile_stop(request):
+    import jax
+
+    st = request.app[_PROFILE_KEY]
+    trace_dir = st.get("dir")
+    if trace_dir is None:
+        return _json_error(400, "profiling is not active")
+    try:
+        await _in_thread(jax.profiler.stop_trace)
+    except Exception as e:  # pragma: no cover
+        return _json_error(500, f"stop_trace failed: {e}")
+    finally:
+        st["dir"] = None
+    files = []
+    total = 0
+    for root, _dirs, names in os.walk(trace_dir):
+        for n in names:
+            fp = os.path.join(root, n)
+            sz = os.path.getsize(fp)
+            files.append({"path": os.path.relpath(fp, trace_dir), "bytes": sz})
+            total += sz
+    return web.json_response({"status": "stopped", "trace_dir": trace_dir,
+                              "files": files, "total_bytes": total})
+
+
 # ---------------------------------------------------------------------- app
 def create_app(repository_path: str = "./models", manager: Optional[InferenceManager] = None):
     """Build the aiohttp application (route table ≙ server/main.go:903-917)."""
@@ -527,6 +588,10 @@ def create_app(repository_path: str = "./models", manager: Optional[InferenceMan
     app.router.add_post("/models/{name}/unload", handle_unload)
     app.router.add_post("/models/{name}/infer", handle_infer)
     app.router.add_post("/models/{name}/generate", handle_generate)
+    app[_PROFILE_KEY] = {}
+    app.router.add_get("/profile", handle_profile_status)
+    app.router.add_post("/profile/start", handle_profile_start)
+    app.router.add_post("/profile/stop", handle_profile_stop)
 
     async def _cleanup(app):
         await _in_thread(app[_MANAGER_KEY].shutdown)
