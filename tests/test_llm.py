@@ -384,3 +384,39 @@ class TestWindowedDecode:
             finally:
                 eng.stop()
         assert outs[0] == outs[2]
+
+
+class TestAdaptiveHorizon:
+    """target_burst_ms bounds the fused decode burst's wall time: the engine
+    tracks a per-token EMA and shrinks the horizon when steps are slow
+    relative to the SLO; 0 keeps the fixed decode_horizon behavior."""
+
+    def _run(self, tmp_path, name, **gen_extra):
+        vdir = _write_llm_repo(tmp_path, name=name, **gen_extra)
+        cfg = ModelConfig.from_file(os.path.join(vdir, "config.json"))
+        eng = GenerationEngine(vdir, cfg)
+        eng.start()
+        try:
+            out = eng.generate([5, 17, 100], max_new_tokens=24)
+            stats = eng.serving_stats()
+        finally:
+            eng.stop()
+        return out, stats
+
+    def test_tiny_slo_collapses_horizon(self, tmp_path):
+        """An unmeetable SLO (1e-6 ms/burst) forces per-step dispatch after
+        the first EMA sample, without changing the generated tokens."""
+        ref, _ = self._run(tmp_path, "ah_ref")
+        out, stats = self._run(tmp_path, "ah_tiny", decode_horizon=8,
+                               target_burst_ms=1e-6)
+        assert stats["decode_horizon_last"] == 1
+        assert stats["decode_token_ms_ema"] > 0
+        assert out["output_ids"] == ref["output_ids"]
+
+    def test_loose_slo_keeps_bursts(self, tmp_path):
+        """A generous SLO (1e9 ms) leaves the configured horizon in place."""
+        out, stats = self._run(tmp_path, "ah_loose", decode_horizon=8,
+                               target_burst_ms=1e9)
+        assert stats["decode_horizon_last"] > 1
+        ref, _ = self._run(tmp_path, "ah_ref2")
+        assert out["output_ids"] == ref["output_ids"]

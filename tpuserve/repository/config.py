@@ -137,6 +137,13 @@ class GenerationConfig:
     # fraction of a ~30 ms step. Tokens then stream in bursts of up to
     # this size; 1 = one step per dispatch (lowest latency).
     decode_horizon: int = 4
+    # Adaptive horizon: when > 0, bound each fused burst's wall time to this
+    # many milliseconds — the engine tracks an EMA of measured per-token
+    # decode time and picks horizon = min(decode_horizon, target_burst_ms /
+    # ema). Fast small-batch decode keeps big bursts (dispatch amortization);
+    # slow large-batch/long-context decode drops toward per-step streaming
+    # so token cadence and admission latency stay under the SLO. 0 = fixed.
+    target_burst_ms: float = 0.0
     eos_token_id: int = 2
     temperature: float = 0.0
     top_k: int = 0

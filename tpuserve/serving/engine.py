@@ -100,6 +100,8 @@ class GenerationEngine:
         self._chunking: Optional[Dict] = None
         self._prefill_chunk_jit = None
         self._prefill_suffix_jit = None  # paged prefix-sharing suffix prefill
+        self._tok_ms_ema: Optional[float] = None  # adaptive-horizon EMA
+        self._horizon_last = 1
         self._thread: Optional[threading.Thread] = None
         self._running = False
         self._req_ids = itertools.count(1)
@@ -419,6 +421,9 @@ class GenerationEngine:
             "tokens_prefilled": self.tokens_in,
             "paged": self.ptm is not None,
         }
+        stats["decode_horizon_last"] = self._horizon_last
+        if self._tok_ms_ema is not None:
+            stats["decode_token_ms_ema"] = round(self._tok_ms_ema, 3)
         if self.ptm is not None:
             stats["kv_free_pages"] = self.ptm.free_pages
             if self.ptm.prefix_sharing:
@@ -723,6 +728,13 @@ class GenerationEngine:
                           - self._slots[i].generated for i in active)
                 cap = self.max_seq_len - 1 - max_pos
                 horizon = max(1, min(h_cfg, rem, cap))
+                # adaptive: bound the burst's wall time to target_burst_ms
+                # using the measured per-token EMA (see GenerationConfig)
+                tgt = float(getattr(self.config.generation,
+                                    "target_burst_ms", 0.0) or 0.0)
+                if tgt > 0 and self._tok_ms_ema is not None:
+                    horizon = max(1, min(horizon,
+                                         int(tgt / max(self._tok_ms_ema, 1e-6))))
             # static KV window: smallest bucket covering every live position
             # (decode is KV-read bound; short contexts read proportionally
             # less HBM). Costs one decode compile per bucket, so it is
@@ -754,6 +766,7 @@ class GenerationEngine:
                 if self.ptm is not None:
                     args.append(self.ptm.device_table())
                 args += [jnp.asarray(positions), self._sampling, sub]
+                t_disp = time.monotonic()
                 if horizon > 1:
                     toks_dev, self.cache = self._decode_multi_jit(
                         *args, window=window, horizon=horizon)
@@ -761,6 +774,15 @@ class GenerationEngine:
                 else:
                     next_dev, self.cache = self._decode_jit(*args, window=window)
                     step_tokens = np.asarray(next_dev)[None]  # [1, S]
+                # per-token EMA for the adaptive horizon (np.asarray above is
+                # a real host fetch, so the window covers device work). The
+                # first sample of a (window, horizon) combo includes compile
+                # time — the EMA starts high, collapses the horizon, then
+                # converges down as steady-state samples arrive (0.7 decay).
+                per_tok = (time.monotonic() - t_disp) * 1000.0 / step_tokens.shape[0]
+                self._tok_ms_ema = per_tok if self._tok_ms_ema is None \
+                    else 0.7 * self._tok_ms_ema + 0.3 * per_tok
+                self._horizon_last = horizon
             except Exception as e:
                 for i in active:
                     st = self._slots[i]
