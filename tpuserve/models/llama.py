@@ -47,6 +47,13 @@ class LlamaParams:
     rope_theta: float = 10000.0
     rms_eps: float = 1e-5
     tie_embeddings: bool = False
+    # Mixture-of-Experts (Mixtral-style): n_experts > 0 replaces every
+    # layer's FFN with a top-k router over E independent gated-silu experts
+    # of ffn_dim each. Expert weights are stored STACKED [E, ...] so expert
+    # parallelism is a real array-dim sharding (see parallel/sharding.py
+    # moe_ffn_sharded).
+    n_experts: int = 0
+    n_experts_per_tok: int = 2
 
     @classmethod
     def from_dict(cls, d: Dict) -> "LlamaParams":
@@ -54,6 +61,8 @@ class LlamaParams:
         kw = {k: v for k, v in d.items() if k in fields}
         p = cls(**kw)
         assert p.n_heads % p.n_kv_heads == 0, "n_heads must be divisible by n_kv_heads"
+        if p.n_experts:
+            assert 0 < p.n_experts_per_tok <= p.n_experts
         return p
 
     # canonical model sizes for configs/bench
@@ -95,9 +104,17 @@ def init_params(rng: jax.Array, p: LlamaParams, dtype=jnp.bfloat16) -> Dict[str,
         params[f"{pre}/wv/kernel"] = (jax.random.normal(nxt(), (p.dim, kvd)) * std).astype(dtype)
         params[f"{pre}/wo/kernel"] = (jax.random.normal(nxt(), (qd, p.dim)) * std).astype(dtype)
         params[f"{pre}/mlp_norm/scale"] = jnp.ones((p.dim,), dtype)
-        params[f"{pre}/w_gate/kernel"] = (jax.random.normal(nxt(), (p.dim, p.ffn_dim)) * std).astype(dtype)
-        params[f"{pre}/w_up/kernel"] = (jax.random.normal(nxt(), (p.dim, p.ffn_dim)) * std).astype(dtype)
-        params[f"{pre}/w_down/kernel"] = (jax.random.normal(nxt(), (p.ffn_dim, p.dim)) * std).astype(dtype)
+        if p.n_experts:
+            params[f"{pre}/router/kernel"] = (
+                jax.random.normal(nxt(), (p.dim, p.n_experts)) * std).astype(dtype)
+            params[f"{pre}/moe_gateup/kernel"] = (
+                jax.random.normal(nxt(), (p.n_experts, p.dim, 2 * p.ffn_dim)) * std).astype(dtype)
+            params[f"{pre}/moe_down/kernel"] = (
+                jax.random.normal(nxt(), (p.n_experts, p.ffn_dim, p.dim)) * std).astype(dtype)
+        else:
+            params[f"{pre}/w_gate/kernel"] = (jax.random.normal(nxt(), (p.dim, p.ffn_dim)) * std).astype(dtype)
+            params[f"{pre}/w_up/kernel"] = (jax.random.normal(nxt(), (p.dim, p.ffn_dim)) * std).astype(dtype)
+            params[f"{pre}/w_down/kernel"] = (jax.random.normal(nxt(), (p.ffn_dim, p.dim)) * std).astype(dtype)
     return params
 
 
@@ -326,6 +343,8 @@ def _forward_block(params, pre, x, p: LlamaParams, attn_fn):
     attn_out = attn_fn(q, k, v)
     x = x + _mm(params, f"{pre}/wo/kernel", attn_out)
     h = rms_norm(params, f"{pre}/mlp_norm", x, p.rms_eps)
+    if p.n_experts:
+        return x + _moe_ffn(params, pre, h, p)
     if f"{pre}/w_gateup/kernel" in params:
         gateup = _mm(params, f"{pre}/w_gateup/kernel", h)
         gate, up = gateup[..., : p.ffn_dim], gateup[..., p.ffn_dim :]
@@ -335,6 +354,86 @@ def _forward_block(params, pre, x, p: LlamaParams, attn_fn):
     gate = jax.nn.silu(gate.astype(jnp.float32)).astype(h.dtype)
     x = x + _mm(params, f"{pre}/w_down/kernel", gate * up)
     return x
+
+
+def _expert_slice(w, e: int):
+    """One expert's [K, N] weight from a stacked [E, K, N] array or QExperts
+    (an XLA slice inside jit — no copy materializes in HBM)."""
+    from tpuserve.quant.core import QExperts
+
+    if isinstance(w, QExperts):
+        return w.expert(e)
+    return w[e]
+
+
+def _mm_w(x: jax.Array, w, use_pallas=None) -> jax.Array:
+    """Matmul against a direct weight value (dense or QTensor), single-chip
+    path (callers inside shard_map islands own the partitioning)."""
+    if isinstance(w, QTensor):
+        return qmatmul(x, w, use_pallas=use_pallas)
+    return jnp.dot(x, w.astype(x.dtype), preferred_element_type=jnp.float32).astype(x.dtype)
+
+
+def expert_forward(h: jax.Array, gu, dn, ffn_dim: int, use_pallas=None) -> jax.Array:
+    """One expert's gated-silu FFN over ALL rows of h [T, D] -> [T, D].
+    gu [D, 2F] (fused gate|up), dn [F, D]; dense arrays or QTensors."""
+    gateup = _mm_w(h, gu, use_pallas)
+    gate, up = gateup[..., :ffn_dim], gateup[..., ffn_dim:]
+    gate = jax.nn.silu(gate.astype(jnp.float32)).astype(h.dtype)
+    return _mm_w(gate * up, dn, use_pallas)
+
+
+def moe_combine_weights(logits: jax.Array, n_experts: int, k: int) -> jax.Array:
+    """Top-k routing: logits [.., E] -> combine weights [.., E] (softmax over
+    the selected k, zero elsewhere) — Mixtral convention."""
+    top_vals, top_idx = jax.lax.top_k(logits.astype(jnp.float32), k)
+    gates = jax.nn.softmax(top_vals, axis=-1)  # [.., k]
+    onehot = jax.nn.one_hot(top_idx, n_experts, dtype=jnp.float32)  # [.., k, E]
+    return jnp.sum(onehot * gates[..., None], axis=-2)  # [.., E]
+
+
+def _moe_ffn(params, pre, h, p: LlamaParams):
+    """Mixture-of-Experts FFN (Mixtral-style top-k routing).
+
+    TPU-first design: every expert runs over ALL tokens and the outputs
+    combine through the routing weights (zeros for unrouted pairs). Decode
+    is weight-read bound — each expert's weights stream from HBM exactly
+    once either way (at serving batch sizes ~every expert is hit), so the
+    extra MXU flops vs a gather/scatter dispatch are ~free, while dynamic
+    gathers would break XLA's static-shape tiling. Under a live mesh the
+    expert loop runs as a shard_map island with experts sharded over "tp"
+    (TRUE expert parallelism: each device computes only its E/tp experts,
+    one psum combines) — see parallel/sharding.moe_ffn_sharded.
+    """
+    router = params[f"{pre}/router/kernel"]
+    logits = jnp.dot(h.astype(jnp.float32), router.astype(jnp.float32))
+    w_se = moe_combine_weights(logits, p.n_experts, p.n_experts_per_tok)
+    gu = params[f"{pre}/moe_gateup/kernel"]
+    dn = params[f"{pre}/moe_down/kernel"]
+
+    lead_shape = h.shape[:-1]
+    h2 = h.reshape(-1, h.shape[-1])           # [T, D]
+    w2 = w_se.reshape(-1, p.n_experts)        # [T, E]
+
+    from tpuserve.parallel.sharding import active_mesh
+
+    mesh = active_mesh()
+    if (mesh is not None and mesh.devices.size > 1
+            and p.n_experts % mesh.shape.get("tp", 1) == 0):
+        from tpuserve.parallel.sharding import moe_ffn_sharded
+
+        out = moe_ffn_sharded(h2, w2, gu, dn, p, mesh)
+        return out.reshape(*lead_shape, h.shape[-1])
+
+    # mesh active but experts don't divide tp: replicated loop through XLA
+    # dequant (GSPMD cannot partition the single-chip pallas_call)
+    up_flag = False if mesh is not None else None
+    out = jnp.zeros_like(h2)
+    for e in range(p.n_experts):
+        y = expert_forward(h2, _expert_slice(gu, e), _expert_slice(dn, e),
+                           p.ffn_dim, use_pallas=up_flag)
+        out = out + w2[:, e : e + 1].astype(y.dtype) * y
+    return out.reshape(*lead_shape, h.shape[-1])
 
 
 def fuse_params(params: Dict, p: LlamaParams) -> Dict:
@@ -1026,6 +1125,7 @@ def decode_step_paged(params, p: LlamaParams, tokens: jax.Array, cache,
 
 # ---------------------------------------------------------------------- zoo glue
 @register_architecture("llama")
+@register_architecture("mixtral")  # MoE Llama: set model_params.n_experts
 class Llama(Architecture):
     """Model-zoo wrapper: whole-sequence forward for the generic JAX backend
     (logits for given input_ids). Generation runs through the LLM backend

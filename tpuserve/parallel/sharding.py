@@ -23,10 +23,11 @@ import dataclasses
 from typing import Dict, Optional
 
 import jax
+import jax.numpy as jnp
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from tpuserve.models.llama import KVCache, LlamaParams
-from tpuserve.quant.core import QTensor, qmatmul
+from tpuserve.quant.core import QExperts, QTensor, qmatmul
 
 _COL = (
     "wq/kernel", "wk/kernel", "wv/kernel", "wqkv/kernel",
@@ -43,24 +44,48 @@ def _spec_for(name: str) -> P:
     return P()  # norms, embed, biases: replicated
 
 
-def _scale_spec(spec: P, scale) -> P:
-    """Scales [G, N] track the weight's spec, except per-channel scales
-    (G == 1, forced by act_bits or group_size=0) whose size-1 dim 0 cannot
-    be partitioned over tp — replicate dim 0; per-column values are
-    mathematically identical on every row shard."""
-    if len(spec) >= 1 and spec[0] is not None and scale.shape[0] == 1:
+def _scale_spec(spec: P, scale, tp: int = 1) -> P:
+    """Scales [G, N] track the weight's spec, except when dim 0 cannot be
+    partitioned over tp: per-channel scales (G == 1, forced by act_bits or
+    group_size=0 — per-column values are mathematically identical on every
+    row shard) and group counts not divisible by tp (qmatmul_sharded slices
+    the local group in-island) replicate dim 0 instead."""
+    if len(spec) >= 1 and spec[0] is not None and (
+            scale.shape[0] == 1 or (tp > 1 and scale.shape[0] % tp != 0)):
         return P(None, *spec[1:])
     return spec
 
 
-def llama_param_pspecs(params: Dict) -> Dict[str, object]:
-    """name -> PartitionSpec (or QTensor of specs, matching its pytree)."""
+def _expert_spec(val, tp: int) -> P:
+    """Stacked MoE expert weights [E, ...]: E shards over "tp" (expert
+    parallelism — each device owns E/tp whole experts, moe_ffn_sharded
+    combines with one psum); replicated when E doesn't divide."""
+    n_e = val.n_experts if isinstance(val, QExperts) else val.shape[0]
+    if tp > 1 and n_e % tp == 0:
+        return P("tp", None, None)
+    return P(None, None, None)
+
+
+def _is_expert_stack(name: str, val) -> bool:
+    if isinstance(val, QExperts):
+        return True
+    return getattr(val, "ndim", 0) == 3 and ("moe_" in name or "expert" in name)
+
+
+def llama_param_pspecs(params: Dict, tp: int = 1) -> Dict[str, object]:
+    """name -> PartitionSpec (or QTensor/QExperts of specs, matching its
+    pytree)."""
     specs: Dict[str, object] = {}
     for name, val in params.items():
+        if _is_expert_stack(name, val):
+            espec = _expert_spec(val, tp)
+            specs[name] = dataclasses.replace(val, q=espec, scale=espec) \
+                if isinstance(val, QExperts) else espec
+            continue
         spec = _spec_for(name)
         if isinstance(val, QTensor):
             specs[name] = QTensor(
-                q=spec, scale=_scale_spec(spec, val.scale), bits=val.bits,
+                q=spec, scale=_scale_spec(spec, val.scale, tp), bits=val.bits,
                 group_size=val.group_size, orig_shape=val.orig_shape,
                 act_bits=val.act_bits, act_fp8=val.act_fp8,
             )
@@ -72,12 +97,24 @@ def llama_param_pspecs(params: Dict) -> Dict[str, object]:
 def shard_llama_params(params: Dict, mesh: Mesh) -> Dict:
     """device_put every param with its NamedSharding."""
     out = {}
+    tp = int(mesh.shape.get("tp", 1))
     for name, val in params.items():
+        if _is_expert_stack(name, val):
+            espec = _expert_spec(val, tp)
+            if isinstance(val, QExperts):
+                out[name] = dataclasses.replace(
+                    val,
+                    q=jax.device_put(val.q, NamedSharding(mesh, espec)),
+                    scale=jax.device_put(val.scale, NamedSharding(mesh, espec)),
+                )
+            else:
+                out[name] = jax.device_put(val, NamedSharding(mesh, espec))
+            continue
         spec = _spec_for(name)
         if isinstance(val, QTensor):
             out[name] = QTensor(
                 q=jax.device_put(val.q, NamedSharding(mesh, spec)),
-                scale=jax.device_put(val.scale, NamedSharding(mesh, _scale_spec(spec, val.scale))),
+                scale=jax.device_put(val.scale, NamedSharding(mesh, _scale_spec(spec, val.scale, tp))),
                 bits=val.bits,
                 group_size=val.group_size,
                 orig_shape=val.orig_shape,
@@ -125,6 +162,18 @@ def qmatmul_sharded(x: jax.Array, qt: QTensor, name: str, mesh: Mesh) -> jax.Arr
 
     spec = _spec_for(name)
     row_sharded = len(spec) >= 1 and spec[0] == "tp"
+    tp = int(mesh.shape.get("tp", 1))
+    # Row-sharded weights whose scale group count doesn't divide tp cannot
+    # shard their scales with the weight. When every shard's K rows fall
+    # inside ONE scale group (gs % k_local == 0) the scale replicates and
+    # each shard slices its group in-island; when shards straddle groups
+    # there is no clean local dequant — let GSPMD partition the XLA path.
+    g = qt.scale.shape[0]
+    scale_rep = row_sharded and g > 1 and g % tp != 0
+    if scale_rep:
+        k_local = qt.orig_shape[0] // tp
+        if qt.group_size <= 0 or qt.group_size % k_local != 0:
+            return qmatmul(x, qt, use_pallas=False)
     nd = x.ndim
     # decode activations [S, D] ride dp on the slot dim when it divides; 3-D
     # (prefill, zoo batch) and indivisible activations replicate across dp
@@ -133,11 +182,21 @@ def qmatmul_sharded(x: jax.Array, qt: QTensor, name: str, mesh: Mesh) -> jax.Arr
     lead = lead + (None,) * (nd - 2)
     x_spec = P(*lead, "tp") if row_sharded else P(*lead, None)
     out_spec = P(*lead, None) if row_sharded else P(*lead, "tp")
-    qt_spec = dataclasses.replace(
-        qt, q=spec, scale=_scale_spec(spec, qt.scale))
+    sc_spec = P(None, *spec[1:]) if scale_rep else _scale_spec(spec, qt.scale)
+    qt_spec = dataclasses.replace(qt, q=spec, scale=sc_spec)
 
     def body(xl, qtl):
-        out = qmatmul(xl, _local_qt(qtl), use_pallas=None)
+        if scale_rep:
+            # replicated scale [G, N]: this shard's rows live in one group
+            k_loc = qtl.q.shape[0] * (2 if qtl.bits == 4 else 1)
+            gidx = (jax.lax.axis_index("tp") * k_loc) // qtl.group_size
+            sc = jax.lax.dynamic_slice_in_dim(qtl.scale, gidx, 1, 0)
+            local = dataclasses.replace(
+                qtl, scale=sc, group_size=0,
+                orig_shape=(k_loc, qtl.q.shape[1]))
+        else:
+            local = _local_qt(qtl)
+        out = qmatmul(xl, local, use_pallas=None)
         if row_sharded:
             out = jax.lax.psum(out, "tp")
         return out
@@ -146,6 +205,50 @@ def qmatmul_sharded(x: jax.Array, qt: QTensor, name: str, mesh: Mesh) -> jax.Arr
         body, mesh=mesh, in_specs=(x_spec, qt_spec), out_specs=out_spec,
         check_rep=False,
     )(x, qt)
+
+
+# --------------------------------------------------------- expert parallelism
+def moe_ffn_sharded(h: jax.Array, w_se: jax.Array, gu, dn,
+                    p, mesh: Mesh) -> jax.Array:
+    """Expert-parallel MoE FFN: experts sharded over the "tp" axis.
+
+    h [T, D] tokens (dp-sharded when T divides), w_se [T, E] combine
+    weights (E over tp), gu/dn stacked expert weights (QExperts or dense
+    [E, ...], E over tp). Each device computes ONLY its E/tp experts over
+    its token shard — expert weights never cross chips; one psum over "tp"
+    combines the routed outputs (unrouted (token, expert) pairs contribute
+    exact zeros via w_se). Inside the island each expert's matmul is the
+    ordinary 2-D path, so the fused Pallas dequant kernel applies per
+    expert on TPU.
+    """
+    from jax.experimental.shard_map import shard_map
+
+    from tpuserve.models.llama import _expert_slice, expert_forward
+
+    tp = int(mesh.shape.get("tp", 1))
+    dp = int(mesh.shape.get("dp", 1))
+    e_local = p.n_experts // tp
+    lead = "dp" if (dp > 1 and h.shape[0] % dp == 0) else None
+    h_spec = P(lead, None)
+    w_spec = P(lead, "tp")
+    estack = P("tp", None, None)
+    gu_spec = dataclasses.replace(gu, q=estack, scale=estack) \
+        if isinstance(gu, QExperts) else estack
+    dn_spec = dataclasses.replace(dn, q=estack, scale=estack) \
+        if isinstance(dn, QExperts) else estack
+
+    def island(hl, wl, gul, dnl):
+        out = jnp.zeros_like(hl)
+        for e in range(e_local):
+            y = expert_forward(hl, _expert_slice(gul, e), _expert_slice(dnl, e),
+                               p.ffn_dim)
+            out = out + wl[:, e : e + 1].astype(y.dtype) * y
+        return jax.lax.psum(out, "tp")
+
+    return shard_map(
+        island, mesh=mesh, in_specs=(h_spec, w_spec, gu_spec, dn_spec),
+        out_specs=h_spec, check_rep=False,
+    )(h, w_se, gu, dn)
 
 
 # ------------------------------------------------- sharded decode attention
@@ -412,12 +515,22 @@ def shard_cache(cache: KVCache, mesh: Mesh) -> KVCache:
     # byte partition as sharding Hkv (contiguous head groups per shard).
     # On an sp mesh the L dim additionally shards over "sp" (long-context:
     # each shard holds a contiguous L/sp window of every slot).
+    # Head counts that don't divide tp replicate the head axis instead
+    # (decode then runs the GSPMD XLA attention path — the kernel island is
+    # gated by can_shard_decode_attention anyway).
     l_ax = "sp" if mesh_sp(mesh) > 1 else None
+    tp = int(mesh.shape.get("tp", 1))
+    h_ax = "tp" if tp > 1 and cache.k.shape[3] % tp == 0 else None
+    dp = int(mesh.shape.get("dp", 1))
+    s_ax = "dp" if dp > 1 and cache.k.shape[1] % dp == 0 else None
     if cache.flat:
-        kv = NamedSharding(mesh, P(None, "dp", l_ax, "tp"))
+        kv = NamedSharding(mesh, P(None, s_ax, l_ax, h_ax))
     else:
-        kv = NamedSharding(mesh, P(None, "dp", l_ax, "tp", None))
-    sc = NamedSharding(mesh, P(None, "dp", l_ax, "tp"))
+        kv = NamedSharding(mesh, P(None, s_ax, l_ax, h_ax, None))
+    sc_h = None
+    if cache.k_scale is not None and tp > 1 and cache.k_scale.shape[3] % tp == 0:
+        sc_h = "tp"
+    sc = NamedSharding(mesh, P(None, s_ax, l_ax, sc_h))
     return KVCache(
         k=jax.device_put(cache.k, kv),
         v=jax.device_put(cache.v, kv),

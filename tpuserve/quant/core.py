@@ -219,6 +219,72 @@ def qmatmul(x: jax.Array, qt: QTensor, *, use_pallas: Optional[bool] = None) -> 
     return jnp.dot(x, w.astype(x.dtype), preferred_element_type=jnp.float32).astype(x.dtype)
 
 
+# ------------------------------------------------------------------ experts
+@jax.tree_util.register_pytree_node_class
+@dataclasses.dataclass
+class QExperts:
+    """A stack of E quantized expert weights [E, K, N] (MoE layers).
+
+    Stored stacked so the expert (E) dim is a real array dim — expert
+    parallelism shards it over a mesh axis with NamedSharding/shard_map
+    (per-expert dict leaves could not be placed on disjoint devices by the
+    single-controller partitioner). `expert(e)` slices one expert out as an
+    ordinary QTensor (an XLA slice — free inside jit), so every 2-D path
+    (fused Pallas kernel, W8A8, fp8 rounding) applies per expert unchanged.
+    """
+
+    q: jax.Array        # int8 [E, K, N] or uint8 [E, K//2, N] (packed int4)
+    scale: jax.Array    # f32 [E, groups, N]
+    bits: int
+    group_size: int
+    orig_shape: Tuple[int, int, int]  # (E, K, N)
+    act_bits: int = 0
+    act_fp8: bool = False
+
+    def tree_flatten(self):
+        return (self.q, self.scale), (
+            self.bits, self.group_size, self.orig_shape, self.act_bits, self.act_fp8
+        )
+
+    @classmethod
+    def tree_unflatten(cls, aux, children):
+        q, scale = children
+        bits, group_size, orig_shape, act_bits, act_fp8 = aux
+        return cls(q=q, scale=scale, bits=bits, group_size=group_size,
+                   orig_shape=orig_shape, act_bits=act_bits, act_fp8=act_fp8)
+
+    @property
+    def n_experts(self) -> int:
+        return self.orig_shape[0]
+
+    @property
+    def nbytes(self) -> int:
+        return self.q.size * self.q.dtype.itemsize + self.scale.size * self.scale.dtype.itemsize
+
+    def expert(self, e: int) -> QTensor:
+        return QTensor(q=self.q[e], scale=self.scale[e], bits=self.bits,
+                       group_size=self.group_size,
+                       orig_shape=self.orig_shape[1:],
+                       act_bits=self.act_bits, act_fp8=self.act_fp8)
+
+
+def quantize_experts(w, bits: int = 8, group_size: int = 128,
+                     clip_search: Optional[bool] = None) -> QExperts:
+    """Quantize a stacked expert weight [E, K, N]: each expert independently
+    (own clip search / scales), results restacked."""
+    w = jnp.asarray(w)
+    if w.ndim != 3:
+        raise ValueError(f"quantize_experts expects [E, K, N], got {w.shape}")
+    qts = [quantize(w[e], bits=bits, group_size=group_size,
+                    clip_search=clip_search) for e in range(w.shape[0])]
+    return QExperts(
+        q=jnp.stack([t.q for t in qts]),
+        scale=jnp.stack([t.scale for t in qts]),
+        bits=bits, group_size=qts[0].group_size,
+        orig_shape=(w.shape[0], w.shape[1], w.shape[2]),
+    )
+
+
 # ----------------------------------------------------------------------
 def quantize_param_tree(
     params: Dict[str, jax.Array],
@@ -244,6 +310,14 @@ def quantize_param_tree(
         group_size = 0  # scale must factorize per column
 
     def default_pred(name: str, arr) -> bool:
+        if arr.ndim == 3:  # stacked MoE experts [E, K, N]
+            k = arr.shape[1]
+            if group_size > 0 and k % group_size != 0 and k > group_size:
+                return False
+            if bits == 4 and k % 2 != 0:
+                return False
+            lname = name.lower()
+            return "moe" in lname or "expert" in lname
         if arr.ndim != 2:
             return False
         k = arr.shape[0]
@@ -257,7 +331,15 @@ def quantize_param_tree(
     pred = predicate or default_pred
     out: Dict[str, object] = {}
     for name, arr in params.items():
-        if pred(name, arr):
+        if arr.ndim == 3 and pred(name, arr):
+            # stacked MoE expert weights [E, K, N]
+            k = arr.shape[1]
+            gs = group_size if (group_size > 0 and k % group_size == 0 and k > group_size) else 0
+            qt = quantize_experts(arr, bits=bits, group_size=gs)
+            if act_bits or act_fp8:
+                qt = dataclasses.replace(qt, act_bits=act_bits, act_fp8=act_fp8)
+            out[name] = qt
+        elif pred(name, arr):
             gs = group_size if (group_size > 0 and arr.shape[0] % group_size == 0 and arr.shape[0] > group_size) else 0
             qt = quantize(arr, bits=bits, group_size=gs)
             if act_bits or act_fp8:

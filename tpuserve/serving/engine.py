@@ -164,7 +164,12 @@ class GenerationEngine:
         bits = _QUANT_BITS.get(qcfg.weights)
         if bits is not None:
             def pred(name, arr):
-                return arr.ndim == 2 and name.endswith("kernel")
+                # 2-D projections + stacked 3-D MoE expert weights; the
+                # router stays bf16 (tiny, and routing decisions are
+                # precision-sensitive)
+                if "router" in name:
+                    return False
+                return arr.ndim in (2, 3) and name.endswith("kernel")
 
             params = quantize_param_tree(
                 raw, bits=bits, group_size=qcfg.group_size, predicate=pred,
