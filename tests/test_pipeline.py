@@ -1,0 +1,163 @@
+"""Pipeline parallelism (layers staged over a "pp" mesh axis) on the
+8-device virtual CPU mesh. The reference has no PP (SURVEY §2b); this is
+capacity-scaling work: per-chip weight footprint drops pp x while decode
+runs a microbatch-rotation pipeline (parallel/pipeline.py)."""
+
+import json
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from tpuserve.models import llama
+from tpuserve.models.llama import KVCache, LlamaParams
+from tpuserve.parallel.mesh import make_pipeline_mesh
+from tpuserve.parallel.pipeline import (
+    _layer_view,
+    place_pipeline_params,
+    pp_decode_step,
+    pp_prefill,
+    stack_layer_params,
+)
+from tpuserve.quant.core import QTensor, quantize_param_tree
+
+P4 = LlamaParams(vocab_size=128, dim=32, n_layers=4, n_heads=4, n_kv_heads=2,
+                 head_dim=8, ffn_dim=64)
+
+
+def _params(p, quant=None, dtype=jnp.float32):
+    raw = llama.fuse_params(llama.init_params(jax.random.PRNGKey(5), p, dtype=dtype), p)
+    if quant:
+        raw = quantize_param_tree(
+            raw, bits=quant, group_size=16,
+            predicate=lambda n, a: a.ndim == 2 and n.endswith("kernel"))
+    return raw
+
+
+class TestStacking:
+    def test_layer_view_roundtrip_dense(self):
+        raw = _params(P4)
+        stacked = stack_layer_params(raw, P4)
+        for l in range(P4.n_layers):
+            view = _layer_view(stacked, l)
+            for key, val in view.items():
+                orig = raw[f"layers.{l}/" + key[len("L/"):]]
+                np.testing.assert_array_equal(np.asarray(val), np.asarray(orig))
+
+    def test_layer_view_roundtrip_quantized(self):
+        raw = _params(P4, quant=8)
+        stacked = stack_layer_params(raw, P4)
+        view = _layer_view(stacked, 2)
+        orig = raw["layers.2/wqkv/kernel"]
+        got = view["L/wqkv/kernel"]
+        assert isinstance(got, QTensor)
+        np.testing.assert_array_equal(np.asarray(got.q), np.asarray(orig.q))
+        np.testing.assert_array_equal(np.asarray(got.scale), np.asarray(orig.scale))
+        assert got.group_size == orig.group_size
+
+    def test_shared_params_pass_through(self):
+        raw = _params(P4, quant=8)
+        stacked = stack_layer_params(raw, P4)
+        assert "embed/weight" in stacked
+        assert isinstance(stacked["lm_head/kernel"], QTensor)
+
+
+class TestPipelineForward:
+    @pytest.mark.parametrize("quant_kv", [False, True])
+    def test_prefill_and_decode_match_single_device(self, quant_kv):
+        """pp=4 staged prefill + decode == the single-device path, token
+        positions spanning fill/drain edge cases (slot-microbatch mapping,
+        inactive slots, masked bubble writes)."""
+        raw = _params(P4)
+        mesh = make_pipeline_mesh(4)
+        stacked = place_pipeline_params(stack_layer_params(raw, P4), mesh)
+
+        n_slots, max_len = 8, 32
+        dt = jnp.int8 if quant_kv else jnp.float32
+        cache_ref = KVCache.create(P4, n_slots, max_len, quantized=quant_kv,
+                                   dtype=jnp.float32 if not quant_kv else None)
+        cache_pp = KVCache.create(P4, n_slots, max_len, quantized=quant_kv,
+                                  dtype=jnp.float32 if not quant_kv else None)
+        from tpuserve.parallel.pipeline import shard_cache_pp
+        cache_pp = shard_cache_pp(cache_pp, mesh)
+
+        prompt = jnp.asarray([[7, 11, 23, 5, 19, 3]], jnp.int32)
+        ref_l, cache_ref = llama.prefill(raw, P4, prompt, cache_ref,
+                                         jnp.int32(2), jnp.int32(6))
+        pp_l, cache_pp = jax.jit(
+            lambda pr, t, c, s, ln: pp_prefill(pr, P4, t, c, s, ln, mesh),
+            donate_argnums=(2,))(stacked, prompt, cache_pp, jnp.int32(2), jnp.int32(6))
+        np.testing.assert_allclose(np.asarray(pp_l), np.asarray(ref_l),
+                                   rtol=2e-3, atol=2e-3)
+
+        tokens = jnp.asarray([3, 9, int(jnp.argmax(ref_l[0])), 1, 0, 5, 2, 8], jnp.int32)
+        positions = jnp.asarray([0, 0, 6, -1, 0, 0, -1, 0], jnp.int32)
+        ref_d, _ = llama.decode_step(raw, P4, tokens, cache_ref, positions)
+        pp_d, _ = jax.jit(
+            lambda pr, t, c, pos: pp_decode_step(pr, P4, t, c, pos, mesh),
+            donate_argnums=(2,))(stacked, tokens, cache_pp, positions)
+        np.testing.assert_allclose(np.asarray(pp_d), np.asarray(ref_d),
+                                   rtol=2e-3, atol=2e-3)
+        assert np.all(np.asarray(pp_d)[3] == 0.0)  # inactive slot
+
+
+def _write_pp_repo(tmp_path, name, sharding=None, quant="int8", **gen_extra):
+    vdir = os.path.join(str(tmp_path), name, "1")
+    os.makedirs(vdir, exist_ok=True)
+    cfg = {
+        "name": name, "platform": "llm", "architecture": "llama",
+        "inputs": [{"name": "input_ids", "shape": [1, -1], "data_type": "INT32"}],
+        "outputs": [{"name": "output_ids", "shape": [1, -1], "data_type": "INT32"}],
+        "model_params": {"vocab_size": 128, "dim": 32, "n_layers": 4,
+                          "n_heads": 4, "n_kv_heads": 2, "head_dim": 8,
+                          "ffn_dim": 64, "init": "random"},
+        "generation": {"max_seq_len": 64, "max_slots": 4, "eos_token_id": 2,
+                        "max_new_tokens": 6, **gen_extra},
+        "quantization": {"weights": quant, "group_size": 16, "kv_cache": "int8"},
+    }
+    if sharding:
+        cfg["sharding"] = sharding
+    with open(os.path.join(vdir, "config.json"), "w") as f:
+        json.dump(cfg, f)
+    return vdir
+
+
+class TestPipelineEngine:
+    def _gen(self, tmp_path, name, **kw):
+        from tpuserve.repository.config import ModelConfig
+        from tpuserve.serving.engine import GenerationEngine
+
+        vdir = _write_pp_repo(tmp_path, name, **kw)
+        eng = GenerationEngine(vdir, ModelConfig.from_file(os.path.join(vdir, "config.json")))
+        eng.start()
+        try:
+            return eng.generate([5, 17, 100, 9], max_new_tokens=6)
+        finally:
+            eng.stop()
+
+    def test_pp_matches_unsharded(self, tmp_path):
+        """int8-quantized engine with pipeline_parallel=4 (1 layer/stage)
+        generates the same greedy tokens as single-device."""
+        ref = self._gen(tmp_path, "pp_solo")
+        out = self._gen(tmp_path, "pp4", sharding={"pipeline_parallel": 4})
+        assert ref["output_ids"] == out["output_ids"]
+
+    def test_pp_rejects_compositions(self, tmp_path):
+        from tpuserve.repository.config import ModelConfig
+        from tpuserve.serving.engine import GenerationEngine
+        from tpuserve.utils.errors import BackendError
+
+        cases = [
+            dict(sharding={"pipeline_parallel": 2, "tensor_parallel": 2}),
+            dict(sharding={"pipeline_parallel": 2}, paged=True, page_size=16),
+            dict(sharding={"pipeline_parallel": 2}, prefill_chunk=16),
+            dict(sharding={"pipeline_parallel": 3}),  # n_layers % pp != 0
+        ]
+        for i, kw in enumerate(cases):
+            vdir = _write_pp_repo(tmp_path, f"pp_bad{i}", **kw)
+            eng = GenerationEngine(
+                vdir, ModelConfig.from_file(os.path.join(vdir, "config.json")))
+            with pytest.raises(BackendError):
+                eng.start()

@@ -319,7 +319,14 @@ def _attention_prefill(q, k, v, mask):
     return out
 
 
-def _forward_block(params, pre, x, p: LlamaParams, attn_fn):
+def _mm_direct(params: Dict, name: str, x: jax.Array) -> jax.Array:
+    """Name-keyed matmul WITHOUT mesh routing — for code already inside a
+    shard_map island (e.g. the pipeline-parallel stage loop), where nested
+    shard_map is illegal and the island owns the partitioning."""
+    return _mm_w(x, params[name])
+
+
+def _forward_block(params, pre, x, p: LlamaParams, attn_fn, mm=None):
     """One transformer block; attn_fn maps (q, k, v) -> attn output.
 
     Projections are fused when the checkpoint carries fused weights
@@ -327,32 +334,37 @@ def _forward_block(params, pre, x, p: LlamaParams, attn_fn):
     one MXU dot instead of three/two — kernel-launch count per decode
     step drops from 7 to 4 per layer, worth ~2x step time at decode batch
     sizes. Split checkpoints (wq/wk/wv) still work.
+
+    `mm` overrides the matmul implementation (default `_mm`, which routes
+    through shard_map islands under a live mesh; pipeline stages pass
+    `_mm_direct`).
     """
+    mm = mm or _mm
     qd = p.n_heads * p.head_dim
     kvd = p.n_kv_heads * p.head_dim
     h = rms_norm(params, f"{pre}/attn_norm", x, p.rms_eps)
     if f"{pre}/wqkv/kernel" in params:
-        qkv = _mm(params, f"{pre}/wqkv/kernel", h)
+        qkv = mm(params, f"{pre}/wqkv/kernel", h)
         q = qkv[..., :qd]
         k = qkv[..., qd : qd + kvd]
         v = qkv[..., qd + kvd :]
     else:
-        q = _mm(params, f"{pre}/wq/kernel", h)
-        k = _mm(params, f"{pre}/wk/kernel", h)
-        v = _mm(params, f"{pre}/wv/kernel", h)
+        q = mm(params, f"{pre}/wq/kernel", h)
+        k = mm(params, f"{pre}/wk/kernel", h)
+        v = mm(params, f"{pre}/wv/kernel", h)
     attn_out = attn_fn(q, k, v)
-    x = x + _mm(params, f"{pre}/wo/kernel", attn_out)
+    x = x + mm(params, f"{pre}/wo/kernel", attn_out)
     h = rms_norm(params, f"{pre}/mlp_norm", x, p.rms_eps)
     if p.n_experts:
-        return x + _moe_ffn(params, pre, h, p)
+        return x + _moe_ffn(params, pre, h, p, mm=mm)
     if f"{pre}/w_gateup/kernel" in params:
-        gateup = _mm(params, f"{pre}/w_gateup/kernel", h)
+        gateup = mm(params, f"{pre}/w_gateup/kernel", h)
         gate, up = gateup[..., : p.ffn_dim], gateup[..., p.ffn_dim :]
     else:
-        gate = _mm(params, f"{pre}/w_gate/kernel", h)
-        up = _mm(params, f"{pre}/w_up/kernel", h)
+        gate = mm(params, f"{pre}/w_gate/kernel", h)
+        up = mm(params, f"{pre}/w_up/kernel", h)
     gate = jax.nn.silu(gate.astype(jnp.float32)).astype(h.dtype)
-    x = x + _mm(params, f"{pre}/w_down/kernel", gate * up)
+    x = x + mm(params, f"{pre}/w_down/kernel", gate * up)
     return x
 
 
@@ -392,7 +404,7 @@ def moe_combine_weights(logits: jax.Array, n_experts: int, k: int) -> jax.Array:
     return jnp.sum(onehot * gates[..., None], axis=-2)  # [.., E]
 
 
-def _moe_ffn(params, pre, h, p: LlamaParams):
+def _moe_ffn(params, pre, h, p: LlamaParams, mm=None):
     """Mixture-of-Experts FFN (Mixtral-style top-k routing).
 
     TPU-first design: every expert runs over ALL tokens and the outputs
@@ -417,7 +429,8 @@ def _moe_ffn(params, pre, h, p: LlamaParams):
 
     from tpuserve.parallel.sharding import active_mesh
 
-    mesh = active_mesh()
+    direct = mm is _mm_direct  # already inside an island: no nested shard_map
+    mesh = None if direct else active_mesh()
     if (mesh is not None and mesh.devices.size > 1
             and p.n_experts % mesh.shape.get("tp", 1) == 0):
         from tpuserve.parallel.sharding import moe_ffn_sharded
@@ -427,7 +440,7 @@ def _moe_ffn(params, pre, h, p: LlamaParams):
 
     # mesh active but experts don't divide tp: replicated loop through XLA
     # dequant (GSPMD cannot partition the single-chip pallas_call)
-    up_flag = False if mesh is not None else None
+    up_flag = False if (mesh is not None and not direct) else None
     out = jnp.zeros_like(h2)
     for e in range(p.n_experts):
         y = expert_forward(h2, _expert_slice(gu, e), _expert_slice(dn, e),

@@ -50,5 +50,13 @@ def make_mesh(tp: int = 1, dp: int = 1, sp: int = 1,
     return Mesh(arr, axis_names=("dp", "tp"))
 
 
+def make_pipeline_mesh(pp: int, devices: Optional[Sequence] = None) -> Mesh:
+    """1-D ("pp",) mesh: transformer layers stage over it (see
+    parallel/pipeline.py). Kept separate from the (dp, sp, tp) mesh — v1
+    pipeline parallelism is exclusive with the other axes."""
+    devs = list(devices) if devices is not None else mesh_devices(pp)
+    return Mesh(np.array(devs), axis_names=("pp",))
+
+
 def single_device_mesh() -> Mesh:
     return make_mesh(tp=1, dp=1)

@@ -1,0 +1,384 @@
+"""Pipeline parallelism: transformer layers staged over a "pp" mesh axis.
+
+TPU-native design (no reference counterpart — SURVEY §2b lists PP as absent
+upstream): layer weights stack into [n_layers, ...] leaves whose leading dim
+shards over "pp" (each device holds n_layers/pp contiguous layers — the
+model's weight footprint per chip drops pp x, which is what PP buys an
+inference server: capacity beyond one chip's HBM after TP is exhausted).
+The KV cache needs NO restructuring — its layer dim already leads, so the
+same PartitionSpec shards it stage-local.
+
+Decode runs a microbatch-rotation pipeline inside ONE shard_map island
+(the SPMD formulation of GPipe from the scaling book): the S decode slots
+split into pp microbatches; at tick t, stage s processes microbatch
+(t - s) and `ppermute`s its activations to stage s+1. Every device executes
+the same program every tick — fill/drain ticks compute on garbage whose
+cache writes are masked. 2*pp-1 ticks per step => bubble fraction
+(pp-1)/(2pp-1); the final hidden states psum once ([S, D] — NOT the [S, V]
+logits) and the replicated lm_head finishes locally on every stage.
+
+Prefill pushes the whole prompt chunk through as a single microbatch
+(stage t computes at tick t — the bubble is inherent for one sequence;
+admission-time work, not the steady-state decode path).
+
+Trade-off (documented, not hidden): each stage re-reads its layer weights
+once per RESIDENT microbatch, so a pp-staged decode step moves ~the same
+weight bytes as pp independent steps at 1/pp batch — PP here is a capacity
+feature; throughput scaling comes from dp/tp.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import math
+from typing import Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from tpuserve.models.llama import (
+    KVCache,
+    LlamaParams,
+    _attention_prefill,
+    _forward_block,
+    _gqa_decode_attention,
+    _mm_direct,
+    _mm_w,
+    _quantize_kv,
+    apply_rope,
+    rope_cos_sin,
+)
+from tpuserve.models.layers import rms_norm
+from tpuserve.quant.core import QExperts, QTensor
+
+_STACK = "stacked_layers/"  # param-dict prefix for [n_layers, ...] stacks
+
+
+def stack_layer_params(params: Dict, p: LlamaParams) -> Dict:
+    """Flat param dict with per-layer leaves -> one dict holding
+    [n_layers, ...] stacks (prefix `stacked_layers/`) plus the shared
+    (non-layer) params unchanged. QTensor layers stack into QExperts —
+    a layer stack IS a stack of 2-D quantized weights, the same container
+    expert stacks use."""
+    out = {k: v for k, v in params.items() if not k.startswith("layers.")}
+    suffixes = sorted({k.split("/", 1)[1] for k in params if k.startswith("layers.")})
+    for sfx in suffixes:
+        leaves = [params[f"layers.{l}/{sfx}"] for l in range(p.n_layers)]
+        first = leaves[0]
+        if isinstance(first, QExperts):
+            raise NotImplementedError(
+                "pipeline_parallel does not compose with MoE expert stacks yet")
+        if isinstance(first, QTensor):
+            out[_STACK + sfx] = QExperts(
+                q=jnp.stack([t.q for t in leaves]),
+                scale=jnp.stack([t.scale for t in leaves]),
+                bits=first.bits, group_size=first.group_size,
+                orig_shape=(p.n_layers,) + tuple(first.orig_shape),
+            )
+        else:
+            out[_STACK + sfx] = jnp.stack(leaves)
+    return out
+
+
+def _layer_view(params: Dict, l: int) -> Dict:
+    """Name-keyed view of ONE layer's weights sliced from the stacks, shaped
+    exactly like an ordinary per-layer param dict (prefix "L")."""
+    view = {}
+    for k, v in params.items():
+        if not k.startswith(_STACK):
+            continue
+        sfx = k[len(_STACK):]
+        view[f"L/{sfx}"] = v.expert(l) if isinstance(v, QExperts) else v[l]
+    return view
+
+
+def pipeline_pspecs(params: Dict) -> Dict:
+    """PartitionSpec tree for a stacked param dict: stacks shard dim 0 over
+    "pp", shared params replicate."""
+    specs = {}
+    for k, v in params.items():
+        if k.startswith(_STACK):
+            if isinstance(v, QExperts):
+                sp = P("pp", *([None] * (v.q.ndim - 1)))
+                ssp = P("pp", *([None] * (v.scale.ndim - 1)))
+                specs[k] = dataclasses.replace(v, q=sp, scale=ssp)
+            else:
+                specs[k] = P("pp", *([None] * (v.ndim - 1)))
+        else:
+            specs[k] = dataclasses.replace(v, q=P(), scale=P()) \
+                if isinstance(v, QTensor) else P()
+    return specs
+
+
+def place_pipeline_params(params: Dict, mesh: Mesh) -> Dict:
+    """device_put stacked params per pipeline_pspecs."""
+    specs = pipeline_pspecs(params)
+    out = {}
+    for k, v in params.items():
+        s = specs[k]
+        if isinstance(v, (QTensor, QExperts)):
+            out[k] = dataclasses.replace(
+                v,
+                q=jax.device_put(v.q, NamedSharding(mesh, s.q)),
+                scale=jax.device_put(v.scale, NamedSharding(mesh, s.scale)),
+            )
+        else:
+            out[k] = jax.device_put(v, NamedSharding(mesh, s))
+    return out
+
+
+def shard_cache_pp(cache: KVCache, mesh: Mesh) -> KVCache:
+    """Stage-local KV: the layer (leading) dim shards over "pp"."""
+    nd_kv = cache.k.ndim
+    kv = NamedSharding(mesh, P("pp", *([None] * (nd_kv - 1))))
+    sc = NamedSharding(mesh, P("pp", None, None, None))
+    return KVCache(
+        k=jax.device_put(cache.k, kv),
+        v=jax.device_put(cache.v, kv),
+        k_scale=None if cache.k_scale is None else jax.device_put(cache.k_scale, sc),
+        v_scale=None if cache.v_scale is None else jax.device_put(cache.v_scale, sc),
+        flat=cache.flat,
+    )
+
+
+def _cache_specs(cache: KVCache) -> Tuple:
+    nd_kv = cache.k.ndim
+    kv = P("pp", *([None] * (nd_kv - 1)))
+    sc = P("pp", None, None, None) if cache.quantized else None
+    return kv, sc
+
+
+def _logits_shared(shared: Dict, x: jax.Array, p: LlamaParams) -> jax.Array:
+    h = rms_norm(shared, "final_norm", x, p.rms_eps)
+    if p.tie_embeddings:
+        w = shared["embed/weight"]
+        return jnp.dot(h, w.T.astype(h.dtype), preferred_element_type=jnp.float32)
+    return _mm_w(h, shared["lm_head/kernel"]).astype(jnp.float32)
+
+
+def pp_decode_step(params: Dict, p: LlamaParams, tokens: jax.Array,
+                   cache: KVCache, positions: jax.Array, mesh: Mesh,
+                   window: Optional[int] = None):
+    """One continuous-batching decode step through the layer pipeline.
+
+    Same contract as llama.decode_step (tokens [S], positions [S] with -1 =
+    inactive; returns (logits [S, V] f32, cache)) — params is the STACKED
+    dict from stack_layer_params, cache layer-dim pp-sharded. S must divide
+    by pp (the engine enforces n_slots % pp == 0)."""
+    pp = int(mesh.shape["pp"])
+    lp = p.n_layers // pp
+    s_dim = int(tokens.shape[0])
+    mb = s_dim // pp
+    l_max = cache.max_len
+    win = l_max if window is None else min(int(window), l_max)
+    quantized = cache.quantized
+
+    stack_keys = [k for k in params if k.startswith(_STACK)]
+    shared = {k: v for k, v in params.items() if not k.startswith(_STACK)}
+    stacks = {k: params[k] for k in stack_keys}
+
+    spec_tree_stacks = {k: v for k, v in pipeline_pspecs(params).items()
+                        if k.startswith(_STACK)}
+    spec_tree_shared = {k: (dataclasses.replace(v, q=P(), scale=P())
+                            if isinstance(v, QTensor) else P())
+                        for k, v in shared.items()}
+    kv_spec, sc_spec = _cache_specs(cache)
+    from jax.experimental.shard_map import shard_map
+
+    def island(stk, shr, toks, pos, k_c, v_c, ks_c, vs_c):
+        stage = jax.lax.axis_index("pp")
+        dtype = shr["embed/weight"].dtype
+        x = jnp.zeros((mb, p.dim), dtype)
+        xs_final = jnp.zeros((s_dim, p.dim), dtype)
+        for t in range(2 * pp - 1):  # static pipeline schedule
+            mb_idx = t - stage                       # resident microbatch
+            valid = (mb_idx >= 0) & (mb_idx < pp)
+            mbc = jnp.clip(mb_idx, 0, pp - 1)
+            if t < pp:
+                # stage 0's resident microbatch at tick t is t (static)
+                inject = shr["embed/weight"][
+                    jax.lax.dynamic_slice_in_dim(toks, t * mb, mb)]
+                x = jnp.where(stage == 0, inject, x)
+            row0 = mbc * mb
+            pos_mb = jax.lax.dynamic_slice_in_dim(pos, row0, mb)
+            act = (pos_mb >= 0) & valid
+            posc = jnp.maximum(pos_mb, 0)
+            cos, sin = rope_cos_sin(posc, p.head_dim, p.rope_theta)
+            cos_q, sin_q = cos[:, None, :], sin[:, None, :]
+            rows = row0 + jnp.arange(mb, dtype=jnp.int32)
+            ar = jnp.arange(win, dtype=jnp.int32)
+            read_mask = ar[None, :] <= posc[:, None]
+            for ll in range(lp):
+                view = _layer_view(stk, ll)
+
+                def attn_fn(q, k, v, ll=ll):
+                    nonlocal k_c, v_c, ks_c, vs_c
+                    q = q.reshape(mb, p.n_heads, p.head_dim)
+                    k = k.reshape(mb, p.n_kv_heads, p.head_dim)
+                    v = v.reshape(mb, p.n_kv_heads, p.head_dim)
+                    q = apply_rope(q, cos_q, sin_q)
+                    k = apply_rope(k, cos_q, sin_q)
+                    if quantized:
+                        kq, ks = _quantize_kv(k)
+                        vq, vs = _quantize_kv(v)
+                    else:
+                        kq = k.astype(k_c.dtype)
+                        vq = v.astype(v_c.dtype)
+                        ks = vs = None
+
+                    def masked(new, old_arr):
+                        old = old_arr[ll, rows, posc]
+                        m = act.reshape((mb,) + (1,) * (new.ndim - 1))
+                        return jnp.where(m, new, old)
+
+                    k_c = k_c.at[ll, rows, posc].set(masked(kq.astype(k_c.dtype), k_c))
+                    v_c = v_c.at[ll, rows, posc].set(masked(vq.astype(v_c.dtype), v_c))
+                    if ks is not None:
+                        ks_c = ks_c.at[ll, rows, posc].set(masked(ks, ks_c))
+                        vs_c = vs_c.at[ll, rows, posc].set(masked(vs, vs_c))
+                    k_all = jax.lax.dynamic_slice_in_dim(k_c[ll], row0, mb)[:, :win]
+                    v_all = jax.lax.dynamic_slice_in_dim(v_c[ll], row0, mb)[:, :win]
+                    if quantized:
+                        ksl = jax.lax.dynamic_slice_in_dim(ks_c[ll], row0, mb)[:, :win]
+                        vsl = jax.lax.dynamic_slice_in_dim(vs_c[ll], row0, mb)[:, :win]
+                    else:
+                        ksl = vsl = None
+                    out = _gqa_decode_attention(
+                        q.reshape(mb, p.n_heads * p.head_dim),
+                        k_all, v_all, ksl, vsl, read_mask, p, x.dtype)
+                    return out
+
+                x = _forward_block(view, "L", x, p, attn_fn, mm=_mm_direct)
+            # last stage banks the finished microbatch's hidden states
+            emit = jnp.logical_and(stage == pp - 1, valid)
+            upd = jax.lax.dynamic_update_slice(xs_final, x, (row0, 0))
+            xs_final = jnp.where(emit, upd, xs_final)
+            # rotate activations to the next stage
+            x = jax.lax.ppermute(
+                x, "pp", [(i, (i + 1) % pp) for i in range(pp)])
+        # one [S, D] psum (NOT [S, V]); the replicated lm_head finishes
+        # locally so logits come out identical on every stage
+        xs_final = jax.lax.psum(
+            jnp.where(stage == pp - 1, xs_final, jnp.zeros_like(xs_final)), "pp")
+        logits = _logits_shared(shr, xs_final, p)
+        logits = jnp.where(pos[:, None] >= 0, logits, 0.0)
+        return logits, k_c, v_c, ks_c, vs_c
+
+    args = (stacks, shared, tokens, positions, cache.k, cache.v,
+            cache.k_scale if quantized else jnp.zeros((), jnp.float32),
+            cache.v_scale if quantized else jnp.zeros((), jnp.float32))
+    in_specs = (spec_tree_stacks, spec_tree_shared, P(), P(), kv_spec, kv_spec,
+                sc_spec if quantized else P(), sc_spec if quantized else P())
+    out_specs = (P(), kv_spec, kv_spec,
+                 sc_spec if quantized else P(), sc_spec if quantized else P())
+    logits, k_c, v_c, ks_c, vs_c = shard_map(
+        island, mesh=mesh, in_specs=in_specs, out_specs=out_specs,
+        check_rep=False,
+    )(*args)
+    new_cache = KVCache(k=k_c, v=v_c,
+                        k_scale=ks_c if quantized else None,
+                        v_scale=vs_c if quantized else None,
+                        flat=cache.flat)
+    return logits, new_cache
+
+
+def pp_prefill(params: Dict, p: LlamaParams, tokens: jax.Array,
+               cache: KVCache, slot: jax.Array, length: jax.Array,
+               mesh: Mesh):
+    """Prompt prefill through the layer pipeline (single microbatch: stage t
+    computes at tick t; the fill bubble is inherent for one sequence).
+    Same contract as llama.prefill: tokens [1, C] right-padded, `length`
+    real tokens; returns (logits [1, V] at length-1, cache)."""
+    pp = int(mesh.shape["pp"])
+    lp = p.n_layers // pp
+    b, c = tokens.shape
+    quantized = cache.quantized
+
+    stack_keys = [k for k in params if k.startswith(_STACK)]
+    shared = {k: v for k, v in params.items() if not k.startswith(_STACK)}
+    stacks = {k: params[k] for k in stack_keys}
+    spec_tree_stacks = {k: v for k, v in pipeline_pspecs(params).items()
+                        if k.startswith(_STACK)}
+    spec_tree_shared = {k: (dataclasses.replace(v, q=P(), scale=P())
+                            if isinstance(v, QTensor) else P())
+                        for k, v in shared.items()}
+    kv_spec, sc_spec = _cache_specs(cache)
+    from jax.experimental.shard_map import shard_map
+
+    def island(stk, shr, toks, slot_, length_, k_c, v_c, ks_c, vs_c):
+        stage = jax.lax.axis_index("pp")
+        x = shr["embed/weight"][toks]  # [1, C, D] (meaningful on stage 0)
+        positions = jnp.arange(c, dtype=jnp.int32)[None, :]
+        cos, sin = rope_cos_sin(positions, p.head_dim, p.rope_theta)
+        cos_q, sin_q = cos[:, :, None, :], sin[:, :, None, :]
+        mask = positions[:, :, None] >= positions[:, None, :]
+        x_last = jnp.zeros((b, p.dim), x.dtype)
+        for t in range(pp):  # tick t: stage t holds the chunk
+            valid = stage == t
+            for ll in range(lp):
+                view = _layer_view(stk, ll)
+
+                def attn_fn(q, k, v, ll=ll):
+                    nonlocal k_c, v_c, ks_c, vs_c
+                    q = q.reshape(b, c, p.n_heads, p.head_dim)
+                    k = k.reshape(b, c, p.n_kv_heads, p.head_dim)
+                    v = v.reshape(b, c, p.n_kv_heads, p.head_dim)
+                    q = apply_rope(q, cos_q, sin_q)
+                    k = apply_rope(k, cos_q, sin_q)
+                    if quantized:
+                        kq, ks = _quantize_kv(k[0])
+                        vq, vs = _quantize_kv(v[0])
+                    else:
+                        kq = k[0].astype(k_c.dtype)
+                        vq = v[0].astype(v_c.dtype)
+                        ks = vs = None
+
+                    def masked(new, old_arr):
+                        old = jax.lax.dynamic_slice(
+                            old_arr[ll], (slot_,) + (0,) * (old_arr.ndim - 2),
+                            (1,) + new.shape)[0]
+                        return jnp.where(valid, new, old)
+
+                    def put(arr, new):
+                        return jax.lax.dynamic_update_slice(
+                            arr, masked(new, arr)[None][None],
+                            (ll, slot_) + (0,) * (arr.ndim - 2))
+
+                    k_c = put(k_c, kq.astype(k_c.dtype))
+                    v_c = put(v_c, vq.astype(v_c.dtype))
+                    if ks is not None:
+                        ks_c = put(ks_c, ks)
+                        vs_c = put(vs_c, vs)
+                    return _attention_prefill(q, k, v, mask).reshape(b, c, -1)
+
+                x = _forward_block(view, "L", x, p, attn_fn, mm=_mm_direct)
+            last = jnp.take_along_axis(
+                x, (length_ - 1)[None, None, None], axis=1)[:, 0, :]
+            x_last = jnp.where(valid & (stage == pp - 1), last, x_last)
+            x = jax.lax.ppermute(
+                x, "pp", [(i, (i + 1) % pp) for i in range(pp)])
+        x_last = jax.lax.psum(
+            jnp.where(stage == pp - 1, x_last, jnp.zeros_like(x_last)), "pp")
+        logits = _logits_shared(shr, x_last, p)
+        return logits, k_c, v_c, ks_c, vs_c
+
+    # cache writes clamp to the slot's row; padded K/V past `length` lands in
+    # the slot's own row beyond the live window, exactly like llama.prefill
+    args = (stacks, shared, tokens, slot, length, cache.k, cache.v,
+            cache.k_scale if quantized else jnp.zeros((), jnp.float32),
+            cache.v_scale if quantized else jnp.zeros((), jnp.float32))
+    in_specs = (spec_tree_stacks, spec_tree_shared, P(), P(), P(),
+                kv_spec, kv_spec,
+                sc_spec if quantized else P(), sc_spec if quantized else P())
+    out_specs = (P(), kv_spec, kv_spec,
+                 sc_spec if quantized else P(), sc_spec if quantized else P())
+    logits, k_c, v_c, ks_c, vs_c = shard_map(
+        island, mesh=mesh, in_specs=in_specs, out_specs=out_specs,
+        check_rep=False,
+    )(*args)
+    new_cache = KVCache(k=k_c, v=v_c,
+                        k_scale=ks_c if quantized else None,
+                        v_scale=vs_c if quantized else None,
+                        flat=cache.flat)
+    return logits, new_cache

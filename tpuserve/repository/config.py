@@ -170,6 +170,10 @@ class ShardingConfig:
     # axis; decode attention merges per-shard partial softmax stats
     # (flash-decoding style) over ICI — see parallel/sharding.py
     sequence_parallel: int = 1
+    # capacity: stage n_layers/pp contiguous layers per device ("pp" axis)
+    # with microbatch-rotation decode — see parallel/pipeline.py. v1 is
+    # exclusive with the other axes / paged / chunked prefill / MoE.
+    pipeline_parallel: int = 1
 
     @classmethod
     def from_dict(cls, d: Optional[Dict[str, Any]]) -> "ShardingConfig":
@@ -178,6 +182,7 @@ class ShardingConfig:
             tensor_parallel=int(d.get("tensor_parallel", 1)),
             data_parallel=int(d.get("data_parallel", 1)),
             sequence_parallel=int(d.get("sequence_parallel", 1)),
+            pipeline_parallel=int(d.get("pipeline_parallel", 1)),
         )
 
     def to_dict(self) -> Dict[str, Any]:

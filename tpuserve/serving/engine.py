@@ -183,8 +183,36 @@ class GenerationEngine:
         # single-device put.
         shard = self.config.sharding
         sp = int(getattr(shard, "sequence_parallel", 1))
+        pp = int(getattr(shard, "pipeline_parallel", 1))
         self.mesh = None
-        if shard.tensor_parallel * shard.data_parallel * sp > 1:
+        self._pp = 1
+        if pp > 1:
+            # layer pipeline (capacity scaling): exclusive with the other
+            # axes in v1 — see parallel/pipeline.py for the design + the
+            # documented weight-reread tradeoff
+            if shard.tensor_parallel * shard.data_parallel * sp > 1:
+                raise BackendError(
+                    "pipeline_parallel is exclusive with tp/dp/sp (v1)")
+            if self.config.generation.paged:
+                raise BackendError("pipeline_parallel does not compose with paged KV")
+            if self._chunk_size > 0:
+                raise BackendError(
+                    "pipeline_parallel does not compose with prefill_chunk (v1)")
+            if p.n_layers % pp != 0:
+                raise BackendError(
+                    f"n_layers {p.n_layers} must divide by pipeline_parallel {pp}")
+            if self.n_slots % pp != 0:
+                raise BackendError(
+                    f"max_slots {self.n_slots} must divide by pipeline_parallel {pp}")
+            from tpuserve.parallel.mesh import make_pipeline_mesh
+            from tpuserve.parallel.pipeline import (
+                place_pipeline_params, stack_layer_params)
+
+            self.mesh = make_pipeline_mesh(pp)
+            self._pp = pp
+            self.params = place_pipeline_params(
+                stack_layer_params(params, p), self.mesh)
+        elif shard.tensor_parallel * shard.data_parallel * sp > 1:
             from tpuserve.parallel.mesh import make_mesh
             from tpuserve.parallel.sharding import shard_llama_params
 
@@ -263,11 +291,17 @@ class GenerationEngine:
 
                 flat = can_shard_decode_attention(
                     self.mesh, self.n_slots, p.n_kv_heads)
+            if self._pp > 1:
+                flat = False  # pipeline islands read the 5D layout
             self.cache = KVCache.create(
                 p, self.n_slots, self.max_seq_len, quantized=quant_kv,
                 flat=flat,
             )
-            if self.mesh is not None:
+            if self._pp > 1:
+                from tpuserve.parallel.pipeline import shard_cache_pp
+
+                self.cache = shard_cache_pp(self.cache, self.mesh)
+            elif self.mesh is not None:
                 from tpuserve.parallel.sharding import shard_cache
 
                 self.cache = shard_cache(self.cache, self.mesh)
@@ -312,6 +346,33 @@ class GenerationEngine:
                 (_, cache, _, _), out = jax.lax.scan(
                     body, (tokens, cache, positions, key), None, length=horizon
                 )
+                return out, cache
+        elif self._pp > 1:
+            from tpuserve.parallel import pipeline as pp_mod
+
+            pp_mesh = self.mesh
+
+            def prefill_fn(params, tokens, cache, slot, length):
+                return pp_mod.pp_prefill(params, p, tokens, cache, slot, length, pp_mesh)
+
+            def decode_fn(params, tokens, cache, positions, sampling, key, window):
+                logits, cache = pp_mod.pp_decode_step(
+                    params, p, tokens, cache, positions, pp_mesh, window=window)
+                return sample(logits, sampling, key), cache
+
+            def decode_multi_fn(params, tokens, cache, positions, sampling,
+                                key, window, horizon):
+                def body(carry, _):
+                    toks, cache, pos, key = carry
+                    key, sub = jax.random.split(key)
+                    logits, cache = pp_mod.pp_decode_step(
+                        params, p, toks, cache, pos, pp_mesh, window=window)
+                    toks = sample(logits, sampling, sub)
+                    pos = jnp.where(pos >= 0, pos + 1, pos)
+                    return (toks, cache, pos, key), toks
+
+                (_, cache, _, _), out = jax.lax.scan(
+                    body, (tokens, cache, positions, key), None, length=horizon)
                 return out, cache
         else:
 
