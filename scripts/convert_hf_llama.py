@@ -53,6 +53,21 @@ def hf_key_map(n_layers: int):
     return m
 
 
+def _moe_key(hf_name: str):
+    """Parse Mixtral block-sparse-MoE names:
+    model.layers.{l}.block_sparse_moe.gate.weight -> ("router", l)
+    ...experts.{e}.w1|w2|w3.weight -> ("expert", l, e, "w1"|"w2"|"w3")."""
+    parts = hf_name.split(".")
+    if "block_sparse_moe" not in parts:
+        return None
+    l = int(parts[2])
+    if parts[4] == "gate":
+        return ("router", l)
+    if parts[4] == "experts":
+        return ("expert", l, int(parts[5]), parts[6])
+    return None
+
+
 def convert(hf_dir: str, output_dir: str, name: str, version: str,
             quant: str, kv_cache: str, max_slots: int, max_seq_len: int) -> str:
     from safetensors.numpy import load_file, save_file
@@ -65,6 +80,7 @@ def convert(hf_dir: str, output_dir: str, name: str, version: str,
     n_kv_heads = int(hf_cfg.get("num_key_value_heads", n_heads))
     dim = int(hf_cfg["hidden_size"])
     head_dim = int(hf_cfg.get("head_dim", dim // n_heads))
+    n_experts = int(hf_cfg.get("num_local_experts", 0))  # Mixtral-style MoE
     key_map = hf_key_map(n_layers)
 
     shards = sorted(glob.glob(os.path.join(hf_dir, "model*.safetensors")))
@@ -72,22 +88,45 @@ def convert(hf_dir: str, output_dir: str, name: str, version: str,
         raise FileNotFoundError(f"no safetensors shards in {hf_dir}")
 
     out = {}
+    moe_raw = {}
     tied = bool(hf_cfg.get("tie_word_embeddings", False))
     for shard in shards:
         weights = load_file(shard)
         for hf_name, arr in weights.items():
+            arr = np.asarray(arr)
+            mk = _moe_key(hf_name) if n_experts else None
+            if mk is not None:
+                moe_raw[mk] = arr
+                continue
             target = key_map.get(hf_name)
             if target is None:
                 if "rotary_emb" in hf_name:
                     continue  # rotary tables are recomputed
                 print(f"  skipping unmapped param {hf_name}")
                 continue
-            arr = np.asarray(arr)
             if target.endswith(".T"):
                 target = target[:-2]
                 arr = np.ascontiguousarray(arr.T)
             out[target] = arr.astype(np.float32) if arr.dtype == np.float64 else arr
         del weights
+
+    if n_experts:
+        # assemble stacked expert weights: w1 = gate [F, D], w3 = up [F, D],
+        # w2 = down [D, F] (HF stores out-dim first) -> fused
+        # moe_gateup [E, D, 2F] and moe_down [E, F, D]
+        for l in range(n_layers):
+            out[f"layers.{l}/router/kernel"] = np.ascontiguousarray(
+                moe_raw[("router", l)].T)  # [D, E]
+            gus, dns = [], []
+            for e in range(n_experts):
+                w1 = moe_raw[("expert", l, e, "w1")].T  # [D, F] gate
+                w3 = moe_raw[("expert", l, e, "w3")].T  # [D, F] up
+                w2 = moe_raw[("expert", l, e, "w2")].T  # [F, D] down
+                gus.append(np.concatenate([w1, w3], axis=1))
+                dns.append(w2)
+            out[f"layers.{l}/moe_gateup/kernel"] = np.ascontiguousarray(np.stack(gus))
+            out[f"layers.{l}/moe_down/kernel"] = np.ascontiguousarray(np.stack(dns))
+        moe_raw.clear()
 
     if tied and "lm_head/kernel" not in out:
         out["lm_head/kernel"] = np.ascontiguousarray(out["embed/weight"].T)
@@ -106,7 +145,7 @@ def convert(hf_dir: str, output_dir: str, name: str, version: str,
         "name": name,
         "version": version,
         "platform": "llm",
-        "architecture": "llama",
+        "architecture": "mixtral" if n_experts else "llama",
         "inputs": [{"name": "input_ids", "shape": [1, -1], "data_type": "INT32"}],
         "outputs": [{"name": "output_ids", "shape": [1, -1], "data_type": "INT32"}],
         "model_params": {
@@ -119,6 +158,9 @@ def convert(hf_dir: str, output_dir: str, name: str, version: str,
             "ffn_dim": int(hf_cfg["intermediate_size"]),
             "rope_theta": float(hf_cfg.get("rope_theta", 10000.0)),
             "rms_eps": float(hf_cfg.get("rms_norm_eps", 1e-5)),
+            **({"n_experts": n_experts,
+                "n_experts_per_tok": int(hf_cfg.get("num_experts_per_tok", 2))}
+               if n_experts else {}),
         },
         "generation": {
             "max_seq_len": max_seq_len,
