@@ -71,6 +71,11 @@ MODELS = {
                               rope_theta=500000.0),
     "llama_1b": LlamaParams(vocab_size=32000, dim=2048, n_layers=16, n_heads=16,
                              n_kv_heads=16, head_dim=128, ffn_dim=5504),
+    # MoE (Mixtral-style) at a single-chip-benchable scale: 8 experts top-2,
+    # ~1.1B active / ~3.6B total params at int4
+    "moe_small": LlamaParams(vocab_size=32000, dim=1024, n_layers=12,
+                              n_heads=16, n_kv_heads=4, head_dim=64,
+                              ffn_dim=3584, n_experts=8, n_experts_per_tok=2),
     "tiny": LlamaParams.tiny(),
 }
 
