@@ -34,11 +34,11 @@ def xla_attention(q, k, v, ks, vs, positions, n_kv, rep, hd):
     scores = jnp.einsum("shrd,slhd->shrl", qg.astype(jnp.bfloat16),
                         k.astype(jnp.bfloat16), preferred_element_type=jnp.float32)
     if ks is not None:
-        scores = scores * jnp.transpose(ks, (0, 2, 1))[:, :, None, :]
+        scores = scores * ks[:, :, None, :]  # head-major [S, Hkv, L]
     scores = jnp.where(read_mask[:, None, None, :], scores, -1e30)
     probs = jax.nn.softmax(scores, axis=-1)
     if vs is not None:
-        probs = probs * jnp.transpose(vs, (0, 2, 1))[:, :, None, :]
+        probs = probs * vs[:, :, None, :]
     out = jnp.einsum("shrl,slhd->shrd", probs.astype(jnp.bfloat16),
                      v.astype(jnp.bfloat16), preferred_element_type=jnp.float32)
     active = positions >= 0
@@ -71,8 +71,9 @@ def main():
     else:
         k = jnp.asarray(rng.integers(-127, 127, size=(s, l, n_kv, hd)), jnp.int8)
         v = jnp.asarray(rng.integers(-127, 127, size=(s, l, n_kv, hd)), jnp.int8)
-        ks = jnp.asarray(rng.uniform(0.001, 0.02, size=(s, l, n_kv)), jnp.float32)
-        vs = jnp.asarray(rng.uniform(0.001, 0.02, size=(s, l, n_kv)), jnp.float32)
+        # head-major [S, Hkv, L] (wide-kernel / cache layout)
+        ks = jnp.asarray(rng.uniform(0.001, 0.02, size=(s, n_kv, l)), jnp.float32)
+        vs = jnp.asarray(rng.uniform(0.001, 0.02, size=(s, n_kv, l)), jnp.float32)
         kv_bytes = 2 * s * l * n_kv * hd + 2 * 4 * s * l * n_kv
     positions = jnp.asarray(
         np.full((s,), l - 1, np.int32))  # all slots at full length (worst case)
@@ -118,7 +119,10 @@ def main():
         from tpuserve.ops.decode_attention import decode_attention
 
         results["pallas"] = run("pallas", lambda q: decode_attention(
-            q, k, v, ks, vs, positions, block_l=args.block_l).astype(jnp.float32))
+            q, k, v,
+            None if ks is None else ks.transpose(0, 2, 1),
+            None if vs is None else vs.transpose(0, 2, 1),
+            positions, block_l=args.block_l).astype(jnp.float32))
     if len(results) == 2:
         print(f"# speedup pallas vs xla: {results['xla']/results['pallas']:.2f}x", flush=True)
 

@@ -46,8 +46,10 @@ def setup():
                     jnp.bfloat16)
     k = jnp.asarray(rng.integers(-127, 127, size=(S, L, HKV, HD)), jnp.int8)
     v = jnp.asarray(rng.integers(-127, 127, size=(S, L, HKV, HD)), jnp.int8)
-    ks = jnp.asarray(rng.uniform(0.001, 0.02, size=(S, L, HKV)), jnp.float32)
-    vs = jnp.asarray(rng.uniform(0.001, 0.02, size=(S, L, HKV)), jnp.float32)
+    # head-major [S, Hkv, L] (wide-kernel / xla_attention contract);
+    # legacy v1 kernel variants transpose at their call sites
+    ks = jnp.asarray(rng.uniform(0.001, 0.02, size=(S, HKV, L)), jnp.float32)
+    vs = jnp.asarray(rng.uniform(0.001, 0.02, size=(S, HKV, L)), jnp.float32)
     positions = jnp.asarray(np.full((S,), L - 1, np.int32))
     return q, k, v, ks, vs, positions
 
@@ -272,7 +274,9 @@ def attn_variant(q, k, v, ks, vs, positions, *, g_kv, block_l, dynskip):
     os.environ["TPUSERVE_ATTN_DYNSKIP"] = "1" if dynskip else "0"
 
     def call(q, k, v, ks, vs, positions):
-        return da.decode_attention(q, k, v, ks, vs, positions,
+        # legacy v1 kernel keeps the [S, L, Hkv] scale contract
+        return da.decode_attention(q, k, v, ks.transpose(0, 2, 1),
+                                   vs.transpose(0, 2, 1), positions,
                                    block_l=block_l, g_kv=g_kv)
 
     return chain_loop(call, q, k, v, ks, vs, positions)

@@ -151,8 +151,9 @@ class TestShardedDecodeAttention:
         if quantized:
             k = rng.integers(-127, 127, size=(n_layers, s, l, n_kv, hd)).astype(np.int8)
             v = rng.integers(-127, 127, size=(n_layers, s, l, n_kv, hd)).astype(np.int8)
-            ks = rng.uniform(0.001, 0.02, size=(n_layers, s, l, n_kv)).astype(np.float32)
-            vs = rng.uniform(0.001, 0.02, size=(n_layers, s, l, n_kv)).astype(np.float32)
+            # head-major [.., Hkv, L] (the cache's stored scale layout)
+            ks = rng.uniform(0.001, 0.02, size=(n_layers, s, n_kv, l)).astype(np.float32)
+            vs = rng.uniform(0.001, 0.02, size=(n_layers, s, n_kv, l)).astype(np.float32)
         else:
             k = rng.normal(size=(n_layers, s, l, n_kv, hd)).astype(np.float32)
             v = rng.normal(size=(n_layers, s, l, n_kv, hd)).astype(np.float32)
@@ -205,8 +206,8 @@ class TestShardedDecodeAttention:
             vp = jnp.asarray(rng.normal(size=(n_layers, n_pages, ps_, w)).astype(np.float32))
         win = max_pages * ps_
         if quantized:
-            ks = jnp.asarray(rng.uniform(0.001, 0.02, size=(s, win, n_kv)).astype(np.float32))
-            vs = jnp.asarray(rng.uniform(0.001, 0.02, size=(s, win, n_kv)).astype(np.float32))
+            ks = jnp.asarray(rng.uniform(0.001, 0.02, size=(s, n_kv, win)).astype(np.float32))
+            vs = jnp.asarray(rng.uniform(0.001, 0.02, size=(s, n_kv, win)).astype(np.float32))
         else:
             ks = vs = None
         table = jnp.asarray(rng.permutation(np.arange(1, 9)).reshape(s // 2, 4).repeat(2, 0)[:s].astype(np.int32))
@@ -365,8 +366,8 @@ class TestSequenceParallel:
         if quantized:
             k = jnp.asarray(rng.integers(-127, 127, size=(n_layers, s, l, n_kv, hd)).astype(np.int8))
             v = jnp.asarray(rng.integers(-127, 127, size=(n_layers, s, l, n_kv, hd)).astype(np.int8))
-            ks = jnp.asarray(rng.uniform(0.001, 0.02, size=(n_layers, s, l, n_kv)).astype(np.float32))
-            vs = jnp.asarray(rng.uniform(0.001, 0.02, size=(n_layers, s, l, n_kv)).astype(np.float32))
+            ks = jnp.asarray(rng.uniform(0.001, 0.02, size=(n_layers, s, n_kv, l)).astype(np.float32))
+            vs = jnp.asarray(rng.uniform(0.001, 0.02, size=(n_layers, s, n_kv, l)).astype(np.float32))
         else:
             k = jnp.asarray(rng.normal(size=(n_layers, s, l, n_kv, hd)).astype(np.float32))
             v = jnp.asarray(rng.normal(size=(n_layers, s, l, n_kv, hd)).astype(np.float32))

@@ -173,8 +173,12 @@ class KVCache:
       [n_layers*S*L, W] view a true bitcast (major-dims merge only); the
       per-step [S, Hkv, hd] -> [S, W] writer reshapes are ~KB-scale.
 
-    k_scale/v_scale: [n_layers, S, L, n_kv_heads] f32 (int8 only, else
-    None) — same shape in both layouts.
+    k_scale/v_scale: [n_layers, S, n_kv_heads, L] f32 (int8 only, else
+    None) — HEAD-MAJOR (L last): every reader (the wide kernel's [S*M, L]
+    score rows, the XLA fallback's [S, Hkv, 1, L] broadcast) wants scales
+    L-minor, so storing them this way deletes a materialized per-layer
+    repeat+transpose (~3-4%% of decode step bytes at 7B); the writers'
+    scatters are KB-scale either way. Same shape in both layouts.
     """
 
     k: jax.Array
@@ -216,7 +220,7 @@ class KVCache:
             shape = (p.n_layers, n_slots, max_len, p.n_kv_heads * p.head_dim)
         else:
             shape = (p.n_layers, n_slots, max_len, p.n_kv_heads, p.head_dim)
-        scale_shape = (p.n_layers, n_slots, max_len, p.n_kv_heads)
+        scale_shape = (p.n_layers, n_slots, p.n_kv_heads, max_len)
         if quantized:
             return cls(
                 k=jnp.zeros(shape, jnp.int8),
@@ -261,8 +265,9 @@ def _write_slot_kv(cache: KVCache, layer, slot, start, kq, vq, ks, vs) -> KVCach
     k = jax.lax.dynamic_update_slice(cache.k, kw.astype(cache.k.dtype), idx)
     v = jax.lax.dynamic_update_slice(cache.v, vw.astype(cache.v.dtype), idx)
     if ks is not None:
-        ks_ = jax.lax.dynamic_update_slice(cache.k_scale, ks[None][None], (layer, slot, start, 0))
-        vs_ = jax.lax.dynamic_update_slice(cache.v_scale, vs[None][None], (layer, slot, start, 0))
+        # scale cache is head-major [.., Hkv, L]: write the [Hkv, C] block
+        ks_ = jax.lax.dynamic_update_slice(cache.k_scale, ks.T[None][None], (layer, slot, 0, start))
+        vs_ = jax.lax.dynamic_update_slice(cache.v_scale, vs.T[None][None], (layer, slot, 0, start))
     else:
         ks_ = vs_ = None
     return KVCache(k, v, ks_, vs_, flat=cache.flat)
@@ -578,14 +583,14 @@ def prefill_chunk(params, p: LlamaParams, tokens: jax.Array, cache: KVCache,
                 preferred_element_type=jnp.float32,
             )  # [C, Hkv, rep, win]
             if new_cache.quantized:
-                ksc = jax.lax.dynamic_slice_in_dim(new_cache.k_scale[layer], slot, 1, 0)[0, :window]
-                scores = scores * jnp.transpose(ksc, (1, 0))[None, :, None, :]
+                ksc = jax.lax.dynamic_slice_in_dim(new_cache.k_scale[layer], slot, 1, 0)[0][:, :window]
+                scores = scores * ksc[None, :, None, :]
             scores = scores / math.sqrt(p.head_dim)
             scores = jnp.where(mask[:, None, None, :], scores, -1e30)
             probs = jax.nn.softmax(scores, axis=-1)
             if new_cache.quantized:
-                vsc = jax.lax.dynamic_slice_in_dim(new_cache.v_scale[layer], slot, 1, 0)[0, :window]
-                probs = probs * jnp.transpose(vsc, (1, 0))[None, :, None, :]
+                vsc = jax.lax.dynamic_slice_in_dim(new_cache.v_scale[layer], slot, 1, 0)[0][:, :window]
+                probs = probs * vsc[None, :, None, :]
             out = jnp.einsum(
                 "cgrl,lgd->cgrd", probs.astype(cdt), v_all.astype(cdt),
                 preferred_element_type=jnp.float32,
@@ -602,7 +607,8 @@ def prefill_chunk(params, p: LlamaParams, tokens: jax.Array, cache: KVCache,
 def _gqa_decode_attention(q, k_all, v_all, k_scale, v_scale, read_mask,
                           p: LlamaParams, out_dtype):
     """Shared decode attention over a logical [S, L, Hkv, hd] K/V view
-    (contiguous slice or gathered pages). q: [S, H*hd] post-RoPE.
+    (contiguous slice or gathered pages). q: [S, H*hd] post-RoPE; scales
+    HEAD-MAJOR [S, Hkv, L] (the cache's stored layout — no transpose).
     Batch-gemm einsums; int8 reads convert to bf16 (fuses into the dot),
     f32 accumulation; INT8 scales fold in at O(L)."""
     s = q.shape[0]
@@ -616,12 +622,12 @@ def _gqa_decode_attention(q, k_all, v_all, k_scale, v_scale, read_mask,
         preferred_element_type=jnp.float32,
     )  # [S, Hkv, rep, L] f32
     if k_scale is not None:
-        scores = scores * jnp.transpose(k_scale, (0, 2, 1))[:, :, None, :]
+        scores = scores * k_scale[:, :, None, :]
     scores = scores / math.sqrt(p.head_dim)
     scores = jnp.where(read_mask[:, None, None, :], scores, -1e30)
     probs = jax.nn.softmax(scores, axis=-1)
     if v_scale is not None:
-        probs = probs * jnp.transpose(v_scale, (0, 2, 1))[:, :, None, :]
+        probs = probs * v_scale[:, :, None, :]
     out = jnp.einsum(
         "shrl,slhd->shrd",
         probs.astype(cdt),
@@ -676,6 +682,11 @@ def decode_step(params, p: LlamaParams, tokens: jax.Array, cache: KVCache,
                 mask = active.reshape((s,) + (1,) * (new.ndim - 1))
                 return jnp.where(mask, new, old)
 
+            def masked_sc(new, old_arr):  # head-major scale cache
+                old = old_arr[layer, slot_idx, :, pos]
+                mask = active.reshape((s,) + (1,) * (new.ndim - 1))
+                return jnp.where(mask, new, old)
+
             if new_cache.quantized:
                 kq, ks = _quantize_kv(k)  # [S, Hkv, hd], [S, Hkv]
                 vq, vs = _quantize_kv(v)
@@ -688,8 +699,8 @@ def decode_step(params, p: LlamaParams, tokens: jax.Array, cache: KVCache,
             new_cache = KVCache(
                 k=new_cache.k.at[layer, slot_idx, pos].set(masked(kq.astype(new_cache.k.dtype), new_cache.k)),
                 v=new_cache.v.at[layer, slot_idx, pos].set(masked(vq.astype(new_cache.v.dtype), new_cache.v)),
-                k_scale=None if ks is None else new_cache.k_scale.at[layer, slot_idx, pos].set(masked(ks, new_cache.k_scale)),
-                v_scale=None if vs is None else new_cache.v_scale.at[layer, slot_idx, pos].set(masked(vs, new_cache.v_scale)),
+                k_scale=None if ks is None else new_cache.k_scale.at[layer, slot_idx, :, pos].set(masked_sc(ks, new_cache.k_scale)),
+                v_scale=None if vs is None else new_cache.v_scale.at[layer, slot_idx, :, pos].set(masked_sc(vs, new_cache.v_scale)),
                 flat=new_cache.flat,
             )
 
@@ -773,8 +784,8 @@ def decode_step(params, p: LlamaParams, tokens: jax.Array, cache: KVCache,
                 k_all = k_all.reshape(s, win, p.n_kv_heads, p.head_dim)
                 v_all = v_all.reshape(s, win, p.n_kv_heads, p.head_dim)
             if new_cache.quantized:
-                k_scale = new_cache.k_scale[layer, :, :win]  # [S, win, Hkv]
-                v_scale = new_cache.v_scale[layer, :, :win]
+                k_scale = new_cache.k_scale[layer, :, :, :win]  # [S, Hkv, win]
+                v_scale = new_cache.v_scale[layer, :, :, :win]
             else:
                 k_scale = v_scale = None
 
@@ -787,8 +798,9 @@ def decode_step(params, p: LlamaParams, tokens: jax.Array, cache: KVCache,
                     q / math.sqrt(p.head_dim),
                     k_all,
                     v_all,
-                    k_scale,
-                    v_scale,
+                    # the r1 kernel keeps the [S, L, Hkv] scale contract
+                    None if k_scale is None else k_scale.transpose(0, 2, 1),
+                    None if v_scale is None else v_scale.transpose(0, 2, 1),
                     positions,
                 )
                 return out.astype(x.dtype).reshape(s, p.n_heads * p.head_dim)
@@ -808,12 +820,12 @@ def decode_step(params, p: LlamaParams, tokens: jax.Array, cache: KVCache,
                 preferred_element_type=jnp.float32,
             )  # [S, Hkv, rep, L] f32
             if k_scale is not None:
-                scores = scores * jnp.transpose(k_scale, (0, 2, 1))[:, :, None, :]
+                scores = scores * k_scale[:, :, None, :]
             scores = scores / math.sqrt(p.head_dim)
             scores = jnp.where(read_mask[:, None, None, :], scores, -1e30)
             probs = jax.nn.softmax(scores, axis=-1)  # [S, Hkv, rep, L] f32
             if v_scale is not None:
-                probs = probs * jnp.transpose(v_scale, (0, 2, 1))[:, :, None, :]
+                probs = probs * v_scale[:, :, None, :]
             out = jnp.einsum(
                 "shrl,slhd->shrd",
                 probs.astype(cdt),
@@ -1073,8 +1085,13 @@ def decode_step_paged(params, p: LlamaParams, tokens: jax.Array, cache,
             if new_cache.quantized:
                 # scales are gathered either way (S*win*Hkv*4 bytes, ~1.5%
                 # of the KV read) — the kernel takes them pre-gathered
-                k_scale = new_cache.k_scale[layer][page_table].reshape(s, l_virt, p.n_kv_heads)
-                v_scale = new_cache.v_scale[layer][page_table].reshape(s, l_virt, p.n_kv_heads)
+                # head-major for the kernel / _gqa contract (pool layout is
+                # [pages, ps, Hkv]; the transpose rides the gather it
+                # already pays — serving/paged_kv.py's documented tradeoff)
+                k_scale = new_cache.k_scale[layer][page_table].reshape(
+                    s, l_virt, p.n_kv_heads).transpose(0, 2, 1)
+                v_scale = new_cache.v_scale[layer][page_table].reshape(
+                    s, l_virt, p.n_kv_heads).transpose(0, 2, 1)
             else:
                 k_scale = v_scale = None
 

@@ -45,7 +45,7 @@ scratch, reset at each L-walk start.
 Inputs (cache layouts, flattened/transposed here — all cheap):
   q          [S, H, hd]   bf16/f32, already scaled by 1/sqrt(hd)
   k, v       [S, L, Hkv, hd] int8 (quantized) or bf16/f32
-  k_scale, v_scale [S, L, Hkv] f32 (None if unquantized)
+  k_scale, v_scale [S, Hkv, L] f32 head-major (None if unquantized)
   positions  [S] int32 — last valid cache index per slot; -1 = inactive
 Returns [S, H, hd] f32.
 """
@@ -235,12 +235,17 @@ def _prep_q_compact(q, k_dtype, kv_int8):
 
 def _prep_scales(k_scale, v_scale, *, s_dim, m_dim, rep, quantized, l_win):
     """K/V scale rows [S*M, l_win] matching the kernel's [M, bl] score
-    orientation ([S, l_win, Hkv] -> repeat to query heads -> transpose)."""
+    orientation. Scales arrive HEAD-MAJOR [S, Hkv, l_win] — the cache's
+    stored layout — so at rep == 1 (MHA-class) this is a free major-dim
+    reshape; GQA repeats on a major dim (no transpose either way). The old
+    [S, L, Hkv] layout cost a materialized repeat+transpose per layer per
+    step (~3-4%% of decode bytes at 7B)."""
     if quantized:
-        ksr = jnp.repeat(k_scale, rep, axis=2).transpose(0, 2, 1) \
-            .reshape(s_dim * m_dim, l_win)
-        vsr = jnp.repeat(v_scale, rep, axis=2).transpose(0, 2, 1) \
-            .reshape(s_dim * m_dim, l_win)
+        if rep > 1:
+            k_scale = jnp.repeat(k_scale, rep, axis=1)
+            v_scale = jnp.repeat(v_scale, rep, axis=1)
+        ksr = k_scale.reshape(s_dim * m_dim, l_win)
+        vsr = v_scale.reshape(s_dim * m_dim, l_win)
     else:
         ksr = jnp.zeros((s_dim * m_dim, 1), jnp.float32)
         vsr = ksr
@@ -298,7 +303,7 @@ def decode_attention_wide(
     """v3 lane-major fused decode attention (see design note above).
 
     Same contract as decode_attention: q [S, H, hd] (already scaled by
-    1/sqrt(hd)), k/v [S, L, Hkv, hd] int8/bf16/f32, scales [S, L, Hkv] f32
+    1/sqrt(hd)), k/v [S, L, Hkv, hd] int8/bf16/f32, scales [S, Hkv, L] f32
     or None, positions [S] int32 (-1 = inactive). Returns [S, H, hd] f32.
     Requires hd % 128 == 0 on TPU (lane-tile-aligned extraction).
     """
@@ -493,7 +498,7 @@ def decode_attention_wide_cache(
                  2D kernel view is then a bitcast) or [n_layers, S, L, Hkv,
                  hd] (the 5D view reshapes across TPU tiles = full-cache
                  copy; only acceptable in CPU/interpret tests)
-    k_scale_l    this layer's scales [S, L, Hkv] f32, or None
+    k_scale_l    this layer's scales [S, Hkv, L] f32 (head-major), or None
     positions    [S] int32, -1 = inactive
     layer        int or traced int32 scalar
     window       static read limit (<= L); callers guarantee
@@ -531,8 +536,8 @@ def decode_attention_wide_cache(
     scr = sc_block // block_l
 
     if quantized:
-        k_scale_l = k_scale_l[:, :win]
-        v_scale_l = v_scale_l[:, :win]
+        k_scale_l = k_scale_l[:, :, :win]
+        v_scale_l = v_scale_l[:, :, :win]
     qc, qs = _prep_q_compact(q, k_full.dtype, kv_int8)
     ksr, vsr = _prep_scales(k_scale_l, v_scale_l, s_dim=s_dim, m_dim=m_dim,
                             rep=rep, quantized=quantized, l_win=win)
@@ -703,9 +708,9 @@ def decode_attention_wide_paged(
     k_pool/v_pool [n_layers, n_pages, ps, W] (flat PagedKVCache layout) or
                 [n_layers, n_pages, ps, Hkv, hd] (5D; copies on TPU — test
                 use only)
-    k_scale_l   this layer's GATHERED scales [S, win, Hkv] f32 or None
-                (scales are S*win*Hkv*4 bytes — gathering them outside is
-                ~1.5% of the KV bytes the kernel saves)
+    k_scale_l   this layer's GATHERED scales [S, Hkv, win] f32 head-major
+                or None (scales are S*win*Hkv*4 bytes — gathering them
+                outside is ~1.5% of the KV bytes the kernel saves)
     page_table  [S, P] int32, entries are pool page ids (0 = zero page)
     positions   [S] int32, -1 = inactive
     window      static read limit, multiple of page_size
@@ -733,8 +738,8 @@ def decode_attention_wide_paged(
 
     qc, qs = _prep_q_compact(q, k_pool.dtype, kv_int8)
     ksr, vsr = _prep_scales(
-        k_scale_l[:, :win] if quantized else None,
-        v_scale_l[:, :win] if quantized else None,
+        k_scale_l[:, :, :win] if quantized else None,
+        v_scale_l[:, :, :win] if quantized else None,
         s_dim=s_dim, m_dim=m_dim, rep=rep, quantized=quantized, l_win=win)
 
     kf = k_pool.reshape(n_layers * n_pages * ps, w)

@@ -235,13 +235,20 @@ def pp_decode_step(params: Dict, p: LlamaParams, tokens: jax.Array,
                     k_c = k_c.at[ll, rows, posc].set(masked(kq.astype(k_c.dtype), k_c))
                     v_c = v_c.at[ll, rows, posc].set(masked(vq.astype(v_c.dtype), v_c))
                     if ks is not None:
-                        ks_c = ks_c.at[ll, rows, posc].set(masked(ks, ks_c))
-                        vs_c = vs_c.at[ll, rows, posc].set(masked(vs, vs_c))
+                        # scale cache is head-major [.., Hkv, L]
+
+                        def masked_sc(new, old_arr):
+                            old = old_arr[ll, rows, :, posc]
+                            m = act.reshape((mb,) + (1,) * (new.ndim - 1))
+                            return jnp.where(m, new, old)
+
+                        ks_c = ks_c.at[ll, rows, :, posc].set(masked_sc(ks, ks_c))
+                        vs_c = vs_c.at[ll, rows, :, posc].set(masked_sc(vs, vs_c))
                     k_all = jax.lax.dynamic_slice_in_dim(k_c[ll], row0, mb)[:, :win]
                     v_all = jax.lax.dynamic_slice_in_dim(v_c[ll], row0, mb)[:, :win]
                     if quantized:
-                        ksl = jax.lax.dynamic_slice_in_dim(ks_c[ll], row0, mb)[:, :win]
-                        vsl = jax.lax.dynamic_slice_in_dim(vs_c[ll], row0, mb)[:, :win]
+                        ksl = jax.lax.dynamic_slice_in_dim(ks_c[ll], row0, mb)[:, :, :win]
+                        vsl = jax.lax.dynamic_slice_in_dim(vs_c[ll], row0, mb)[:, :, :win]
                     else:
                         ksl = vsl = None
                     out = _gqa_decode_attention(
@@ -348,8 +355,8 @@ def pp_prefill(params: Dict, p: LlamaParams, tokens: jax.Array,
                     k_c = put(k_c, kq.astype(k_c.dtype))
                     v_c = put(v_c, vq.astype(v_c.dtype))
                     if ks is not None:
-                        ks_c = put(ks_c, ks)
-                        vs_c = put(vs_c, vs)
+                        ks_c = put(ks_c, ks.T)  # head-major [Hkv, C]
+                        vs_c = put(vs_c, vs.T)
                     return _attention_prefill(q, k, v, mask).reshape(b, c, -1)
 
                 x = _forward_block(view, "L", x, p, attn_fn, mm=_mm_direct)

@@ -311,7 +311,7 @@ def decode_attention_sharded(
     q_spec = P("dp", "tp", None)
     pos_spec = P("dp")
     if k_scale_l is not None:
-        sc_spec = P("dp", None, "tp")
+        sc_spec = P("dp", "tp", None)  # head-major [S, Hkv, L]
 
         def body(ql, kl, vl, ksl, vsl, posl):
             return decode_attention_wide_cache(
@@ -364,7 +364,7 @@ def decode_attention_paged_sharded(
     pt_spec = P("dp", None)
     pos_spec = P("dp")
     if k_scale_g is not None:
-        sc_spec = P("dp", None, "tp")  # gathered [S, win, Hkv]
+        sc_spec = P("dp", "tp", None)  # gathered head-major [S, Hkv, win]
 
         def body(ql, kl, vl, ksl, vsl, ptl, posl):
             return decode_attention_wide_paged(
@@ -436,7 +436,7 @@ def decode_attention_seq_sharded(
             "shrd,slhd->shrl", qg.astype(cdt), kl.astype(cdt),
             preferred_element_type=jnp.float32)  # [S, Hkv, rep, Lloc]
         if ksl is not None:
-            scores = scores * jnp.transpose(ksl, (0, 2, 1))[:, :, None, :]
+            scores = scores * ksl[:, :, None, :]
         kpos = l_off + jnp.arange(lloc, dtype=jnp.int32)
         mask = kpos[None, :] <= posl[:, None]  # [S, Lloc] global causal
         scores = jnp.where(mask[:, None, None, :], scores, -1e30)
@@ -444,7 +444,7 @@ def decode_attention_seq_sharded(
         probs = jnp.exp(scores - m[..., None])
         ssum = jnp.sum(probs, axis=-1)                    # [S, Hkv, rep]
         if vsl is not None:
-            probs = probs * jnp.transpose(vsl, (0, 2, 1))[:, :, None, :]
+            probs = probs * vsl[:, :, None, :]
         o = jnp.einsum(
             "shrl,slhd->shrd", probs.astype(cdt), vl.astype(cdt),
             preferred_element_type=jnp.float32)           # [S, Hkv, rep, hd]
@@ -463,7 +463,7 @@ def decode_attention_seq_sharded(
     kv_spec = P("dp", "sp", "tp", None)
     pos_spec = P("dp")
     if quantized:
-        sc_spec = P("dp", "sp", "tp")
+        sc_spec = P("dp", "tp", "sp")  # head-major [S, Hkv, L], L over sp
         return shard_map(
             _partial, mesh=mesh,
             in_specs=(q_spec, kv_spec, kv_spec, sc_spec, sc_spec, pos_spec),
@@ -484,7 +484,7 @@ def cache_pspec(sp: bool = False) -> KVCache:
     sp=True additionally shards L over the "sp" axis (long-context)."""
     l_ax = "sp" if sp else None
     kv = P(None, "dp", l_ax, "tp", None)
-    sc = P(None, "dp", l_ax, "tp")
+    sc = P(None, "dp", "tp", l_ax)  # head-major scales [.., Hkv, L]
     return KVCache(k=kv, v=kv, k_scale=sc, v_scale=sc)
 
 
@@ -528,9 +528,9 @@ def shard_cache(cache: KVCache, mesh: Mesh) -> KVCache:
     else:
         kv = NamedSharding(mesh, P(None, s_ax, l_ax, h_ax, None))
     sc_h = None
-    if cache.k_scale is not None and tp > 1 and cache.k_scale.shape[3] % tp == 0:
+    if cache.k_scale is not None and tp > 1 and cache.k_scale.shape[2] % tp == 0:
         sc_h = "tp"
-    sc = NamedSharding(mesh, P(None, s_ax, l_ax, sc_h))
+    sc = NamedSharding(mesh, P(None, s_ax, sc_h, l_ax))  # [.., Hkv, L]
     return KVCache(
         k=jax.device_put(cache.k, kv),
         v=jax.device_put(cache.v, kv),
