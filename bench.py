@@ -126,8 +126,12 @@ def main():
             ptm.ensure(s, max_len)
         page_table = ptm.device_table()
     else:
+        scale_dt = jnp.bfloat16 if os.environ.get(
+            "TPUSERVE_BENCH_KV_SCALE_DTYPE", "f32").lower() in ("bf16", "bfloat16") \
+            else jnp.float32
         cache = KVCache.create(p, n_slots, max_len, quantized=True,
-                               flat=llama.preferred_cache_flat(p, max_len))
+                               flat=llama.preferred_cache_flat(p, max_len),
+                               scale_dtype=scale_dt)
     kv_bytes = cache.nbytes
     print(f"# kv cache: {kv_bytes/1e9:.2f} GB", file=sys.stderr)
 

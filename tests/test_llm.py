@@ -420,3 +420,41 @@ class TestAdaptiveHorizon:
         assert stats["decode_horizon_last"] > 1
         ref, _ = self._run(tmp_path, "ah_ref2")
         assert out["output_ids"] == ref["output_ids"]
+
+
+class TestBf16KvScales:
+    """quantization.kv_scale_dtype=bfloat16 halves the decode kernel's scale
+    stream; dequant error stays within the int8-KV noise floor."""
+
+    def test_reconstruction_error_bound(self):
+        from tpuserve.models.llama import _quantize_kv
+
+        rng = np.random.default_rng(7)
+        x = jnp.asarray(rng.normal(size=(64, 4, 32)).astype(np.float32))
+        q, s = _quantize_kv(x)
+        deq_f32 = np.asarray(q, np.float32) * np.asarray(s)[..., None]
+        deq_bf16 = np.asarray(q, np.float32) * np.asarray(
+            s.astype(jnp.bfloat16), np.float32)[..., None]
+        ref = np.asarray(x)
+        err_f32 = np.abs(deq_f32 - ref).max() / np.abs(ref).max()
+        err_bf16 = np.abs(deq_bf16 - ref).max() / np.abs(ref).max()
+        assert err_bf16 < err_f32 + 0.005  # bf16 scale adds <= 2^-9 relative
+
+    def test_engine_runs_and_stores_bf16(self, tmp_path):
+        vdir = _write_llm_repo(tmp_path, quant="int8", kv="int8",
+                               name="bf16sc")
+        import json as _json
+        cfgp = os.path.join(vdir, "config.json")
+        cfg = _json.load(open(cfgp))
+        cfg["quantization"]["kv_scale_dtype"] = "bfloat16"
+        _json.dump(cfg, open(cfgp, "w"))
+        eng = GenerationEngine(vdir, ModelConfig.from_file(cfgp))
+        eng.start()
+        try:
+            assert eng.cache.k_scale.dtype == jnp.bfloat16
+            r = eng.generate([5, 17, 100], max_new_tokens=6)
+            assert r["num_generated"] >= 1
+            r2 = eng.generate([5, 17, 100], max_new_tokens=6)
+            assert r["output_ids"] == r2["output_ids"]  # deterministic
+        finally:
+            eng.stop()

@@ -210,23 +210,27 @@ class KVCache:
     def nbytes(self) -> int:
         total = self.k.size * self.k.dtype.itemsize + self.v.size * self.v.dtype.itemsize
         if self.k_scale is not None:
-            total += self.k_scale.size * 4 + self.v_scale.size * 4
+            total += self.k_scale.size * self.k_scale.dtype.itemsize \
+                + self.v_scale.size * self.v_scale.dtype.itemsize
         return total
 
     @classmethod
     def create(cls, p: LlamaParams, n_slots: int, max_len: int, quantized: bool,
-               dtype=jnp.bfloat16, flat: bool = False) -> "KVCache":
+               dtype=jnp.bfloat16, flat: bool = False,
+               scale_dtype=jnp.float32) -> "KVCache":
         if flat:
             shape = (p.n_layers, n_slots, max_len, p.n_kv_heads * p.head_dim)
         else:
             shape = (p.n_layers, n_slots, max_len, p.n_kv_heads, p.head_dim)
         scale_shape = (p.n_layers, n_slots, p.n_kv_heads, max_len)
         if quantized:
+            # scale_dtype=bfloat16 halves the scale stream the decode kernel
+            # reads (config quantization.kv_scale_dtype)
             return cls(
                 k=jnp.zeros(shape, jnp.int8),
                 v=jnp.zeros(shape, jnp.int8),
-                k_scale=jnp.zeros(scale_shape, jnp.float32),
-                v_scale=jnp.zeros(scale_shape, jnp.float32),
+                k_scale=jnp.zeros(scale_shape, scale_dtype),
+                v_scale=jnp.zeros(scale_shape, scale_dtype),
                 flat=flat,
             )
         return cls(k=jnp.zeros(shape, dtype), v=jnp.zeros(shape, dtype),
@@ -266,8 +270,12 @@ def _write_slot_kv(cache: KVCache, layer, slot, start, kq, vq, ks, vs) -> KVCach
     v = jax.lax.dynamic_update_slice(cache.v, vw.astype(cache.v.dtype), idx)
     if ks is not None:
         # scale cache is head-major [.., Hkv, L]: write the [Hkv, C] block
-        ks_ = jax.lax.dynamic_update_slice(cache.k_scale, ks.T[None][None], (layer, slot, 0, start))
-        vs_ = jax.lax.dynamic_update_slice(cache.v_scale, vs.T[None][None], (layer, slot, 0, start))
+        ks_ = jax.lax.dynamic_update_slice(
+            cache.k_scale, ks.T[None][None].astype(cache.k_scale.dtype),
+            (layer, slot, 0, start))
+        vs_ = jax.lax.dynamic_update_slice(
+            cache.v_scale, vs.T[None][None].astype(cache.v_scale.dtype),
+            (layer, slot, 0, start))
     else:
         ks_ = vs_ = None
     return KVCache(k, v, ks_, vs_, flat=cache.flat)
@@ -690,6 +698,8 @@ def decode_step(params, p: LlamaParams, tokens: jax.Array, cache: KVCache,
             if new_cache.quantized:
                 kq, ks = _quantize_kv(k)  # [S, Hkv, hd], [S, Hkv]
                 vq, vs = _quantize_kv(v)
+                ks = ks.astype(new_cache.k_scale.dtype)
+                vs = vs.astype(new_cache.v_scale.dtype)
             else:
                 kq = k.astype(new_cache.k.dtype)
                 vq = v.astype(new_cache.v.dtype)

@@ -222,6 +222,8 @@ def pp_decode_step(params: Dict, p: LlamaParams, tokens: jax.Array,
                     if quantized:
                         kq, ks = _quantize_kv(k)
                         vq, vs = _quantize_kv(v)
+                        ks = ks.astype(ks_c.dtype)
+                        vs = vs.astype(vs_c.dtype)
                     else:
                         kq = k.astype(k_c.dtype)
                         vq = v.astype(v_c.dtype)
@@ -336,6 +338,8 @@ def pp_prefill(params: Dict, p: LlamaParams, tokens: jax.Array,
                     if quantized:
                         kq, ks = _quantize_kv(k[0])
                         vq, vs = _quantize_kv(v[0])
+                        ks = ks.astype(ks_c.dtype)
+                        vs = vs.astype(vs_c.dtype)
                     else:
                         kq = k[0].astype(k_c.dtype)
                         vq = v[0].astype(v_c.dtype)

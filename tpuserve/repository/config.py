@@ -85,6 +85,12 @@ class QuantizationConfig:
     group_size: int = 128  # contraction-dim group for scales; 0 = per-channel
     kv_cache: str = "none"  # none | int8
     activations: str = "none"  # none | int8 (dynamic per-token) | fp8
+    # dtype of the INT8 KV cache's per-(pos, head) dequant scales:
+    # "bfloat16" halves the scale-stream bytes the decode kernel reads
+    # (~1.5-2% of step bytes at 7B) at the cost of <=2^-9 relative rounding
+    # on the dequantized K/V — on top of int8's ~0.4% this is noise, but
+    # f32 stays the default until the on-chip accuracy gate blesses it.
+    kv_scale_dtype: str = "float32"  # float32 | bfloat16
 
     @classmethod
     def from_dict(cls, d: Optional[Dict[str, Any]]) -> "QuantizationConfig":
@@ -94,6 +100,7 @@ class QuantizationConfig:
             group_size=int(d.get("group_size", 128)),
             kv_cache=str(d.get("kv_cache", "none")).lower(),
             activations=str(d.get("activations", "none")).lower(),
+            kv_scale_dtype=str(d.get("kv_scale_dtype", "float32")).lower(),
         )
         if cfg.weights not in ("none", "int8", "int4"):
             raise InvalidArgumentError(f"unsupported weight quantization '{cfg.weights}'")
@@ -101,6 +108,9 @@ class QuantizationConfig:
             raise InvalidArgumentError(f"unsupported kv_cache quantization '{cfg.kv_cache}'")
         if cfg.activations not in ("none", "int8", "fp8"):
             raise InvalidArgumentError(f"unsupported activation quantization '{cfg.activations}'")
+        if cfg.kv_scale_dtype not in ("float32", "bfloat16"):
+            raise InvalidArgumentError(
+                f"unsupported kv_scale_dtype '{cfg.kv_scale_dtype}'")
         return cfg
 
     def to_dict(self) -> Dict[str, Any]:

@@ -293,9 +293,12 @@ class GenerationEngine:
                     self.mesh, self.n_slots, p.n_kv_heads)
             if self._pp > 1:
                 flat = False  # pipeline islands read the 5D layout
+            scale_dtype = jnp.bfloat16 \
+                if getattr(qcfg, "kv_scale_dtype", "float32") == "bfloat16" \
+                else jnp.float32
             self.cache = KVCache.create(
                 p, self.n_slots, self.max_seq_len, quantized=quant_kv,
-                flat=flat,
+                flat=flat, scale_dtype=scale_dtype,
             )
             if self._pp > 1:
                 from tpuserve.parallel.pipeline import shard_cache_pp
