@@ -458,3 +458,79 @@ class TestBf16KvScales:
             assert r["output_ids"] == r2["output_ids"]  # deterministic
         finally:
             eng.stop()
+
+
+class TestSamplingFeatures:
+    """Repetition penalty, stop token ids, per-token logprobs (serving-API
+    parity features; reference has no generation API at all)."""
+
+    def test_repetition_penalty_masks_present_token(self):
+        from tpuserve.serving.sampling import SamplingParams, sample
+
+        logits = jnp.asarray([[1.0, 0.9, -3.0, -5.0]])
+        params = SamplingParams.create(1, temperature=0.0, repetition_penalty=5.0)
+        presence = jnp.zeros((1, 4), jnp.bool_).at[0, 0].set(True)
+        tok = int(sample(logits, params, jax.random.PRNGKey(0), presence)[0])
+        assert tok == 1  # token 0 penalized 1.0 -> 0.2, so 0.9 wins
+        params1 = SamplingParams.create(1, temperature=0.0, repetition_penalty=1.0)
+        tok1 = int(sample(logits, params1, jax.random.PRNGKey(0), presence)[0])
+        assert tok1 == 0  # penalty off
+
+    def test_engine_repetition_penalty_reduces_repeats(self, tmp_path):
+        vdir = _write_llm_repo(tmp_path, name="rp_engine")
+        cfg = ModelConfig.from_file(os.path.join(vdir, "config.json"))
+        eng = GenerationEngine(vdir, cfg)
+        eng.start()
+        try:
+            base = eng.generate([5, 17, 100], max_new_tokens=16)
+            pen = eng.generate([5, 17, 100], max_new_tokens=16,
+                               repetition_penalty=1e6)
+            # an extreme penalty forbids reuse: every generated token (until
+            # a possible eos) must be new
+            gen = pen["output_ids"][3:]
+            seen = set([5, 17, 100])
+            for t in gen:
+                if t == 2:  # eos
+                    break
+                assert t not in seen
+                seen.add(t)
+            # default rp=1.0 must reproduce the unpenalized sequence
+            base2 = eng.generate([5, 17, 100], max_new_tokens=16,
+                                 repetition_penalty=1.0)
+            assert base["output_ids"] == base2["output_ids"]
+        finally:
+            eng.stop()
+
+    def test_stop_token_ids(self, tmp_path):
+        vdir = _write_llm_repo(tmp_path, name="stop_engine")
+        cfg = ModelConfig.from_file(os.path.join(vdir, "config.json"))
+        eng = GenerationEngine(vdir, cfg)
+        eng.start()
+        try:
+            ref = eng.generate([5, 17, 100], max_new_tokens=8)
+            assert ref["num_generated"] >= 2
+            first = ref["generated_ids"][0]
+            out = eng.generate([5, 17, 100], max_new_tokens=8,
+                               stop_token_ids=[first])
+            assert out["finish_reason"] == "stop"
+            assert out["num_generated"] == 1
+        finally:
+            eng.stop()
+
+    def test_logprobs_returned(self, tmp_path):
+        vdir = _write_llm_repo(tmp_path, name="lp_engine")
+        cfg = ModelConfig.from_file(os.path.join(vdir, "config.json"))
+        eng = GenerationEngine(vdir, cfg)
+        eng.start()
+        try:
+            out = eng.generate([5, 17, 100], max_new_tokens=6, logprobs=True)
+            lps = out["logprobs"]
+            assert len(lps) == out["num_generated"]
+            assert all(lp <= 0.0 for lp in lps)
+            # greedy tokens should usually carry substantial probability;
+            # at minimum the values are finite
+            assert all(np.isfinite(lp) for lp in lps)
+            out2 = eng.generate([5, 17, 100], max_new_tokens=6)
+            assert "logprobs" not in out2
+        finally:
+            eng.stop()

@@ -405,7 +405,8 @@ async def handle_generate(request):
     if not hasattr(backend, "generate"):
         return _json_error(400, f"model '{name}' is not a generative model")
     kw = {}
-    for k in ("max_new_tokens", "temperature", "top_k", "top_p", "seed"):
+    for k in ("max_new_tokens", "temperature", "top_k", "top_p", "seed",
+              "repetition_penalty", "stop_token_ids", "logprobs"):
         if k in body:
             kw[k] = body[k]
 
@@ -455,6 +456,8 @@ async def handle_generate(request):
                         model.stats.record_tokens(generated=n, prefilled=len(ids))
                         final = {"done": True, "finish_reason": req.finish_reason,
                                  "num_generated": n}
+                        if req.want_logprobs:
+                            final["logprobs"] = list(req.logprobs)
                         if req.error:
                             final["error"] = req.error
                         buf += json.dumps(final).encode() + b"\n"

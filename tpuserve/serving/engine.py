@@ -37,7 +37,8 @@ from tpuserve.models import llama
 from tpuserve.models.llama import KVCache, LlamaParams
 from tpuserve.quant.core import QTensor, quantize_param_tree
 from tpuserve.repository.config import ModelConfig
-from tpuserve.serving.sampling import SamplingParams, sample
+from tpuserve.serving.sampling import (
+    SamplingParams, sample, sample_with_logprobs)
 from tpuserve.utils.dtypes import DataType
 from tpuserve.utils.errors import BackendError, InvalidArgumentError, ResourceExhaustedError
 from tpuserve.utils.tensor import Tensor
@@ -52,7 +53,11 @@ class Request:
     temperature: float = 0.0
     top_k: int = 0
     top_p: float = 1.0
+    repetition_penalty: float = 1.0  # CTRL-style, over prompt + generated
+    stop_token_ids: List[int] = dataclasses.field(default_factory=list)
+    want_logprobs: bool = False
     id: int = 0
+    logprobs: List[float] = dataclasses.field(default_factory=list)
     # filled during serving
     output_ids: List[int] = dataclasses.field(default_factory=list)
     done: threading.Event = dataclasses.field(default_factory=threading.Event)
@@ -107,6 +112,10 @@ class GenerationEngine:
         self._req_ids = itertools.count(1)
         self._key = jax.random.PRNGKey(int(config.model_params.get("seed", 0)))
         self._sampling = SamplingParams.create(self.n_slots)
+        # per-slot token-presence mask [S, V] (repetition penalty working
+        # set): prompt tokens seeded at admission, generated tokens marked
+        # in-scan by sample_with_logprobs
+        self._presence = None  # created at start() (needs vocab size)
         # serving counters
         self.steps = 0
         self.tokens_out = 0
@@ -324,32 +333,37 @@ class GenerationEngine:
                 prefill_suffix_fn, donate_argnums=(2,),
                 static_argnames=("window",))
 
-            def decode_fn(params, tokens, cache, table, positions, sampling, key, window):
+            def decode_fn(params, tokens, cache, table, positions, sampling,
+                          key, presence, window):
                 logits, cache = llama.decode_step_paged(
                     params, p, tokens, cache, table, positions, window=window
                 )
-                return sample(logits, sampling, key), cache
+                toks, lp, presence = sample_with_logprobs(
+                    logits, sampling, key, presence)
+                return toks, lp, cache, presence
 
             def decode_multi_fn(params, tokens, cache, table, positions,
-                                sampling, key, window, horizon):
+                                sampling, key, presence, window, horizon):
                 """`horizon` fused decode+sample steps in one dispatch (see
                 GenerationConfig.decode_horizon). Inactive slots stay at
                 position -1 across the scan."""
 
                 def body(carry, _):
-                    toks, cache, pos, key = carry
+                    toks, cache, pos, key, presence = carry
                     key, sub = jax.random.split(key)
                     logits, cache = llama.decode_step_paged(
                         params, p, toks, cache, table, pos, window=window
                     )
-                    toks = sample(logits, sampling, sub)
+                    toks, lp, presence = sample_with_logprobs(
+                        logits, sampling, sub, presence)
                     pos = jnp.where(pos >= 0, pos + 1, pos)
-                    return (toks, cache, pos, key), toks
+                    return (toks, cache, pos, key, presence), (toks, lp)
 
-                (_, cache, _, _), out = jax.lax.scan(
-                    body, (tokens, cache, positions, key), None, length=horizon
+                (_, cache, _, _, presence), (out, lps) = jax.lax.scan(
+                    body, (tokens, cache, positions, key, presence), None,
+                    length=horizon,
                 )
-                return out, cache
+                return out, lps, cache, presence
         elif self._pp > 1:
             from tpuserve.parallel import pipeline as pp_mod
 
@@ -358,31 +372,37 @@ class GenerationEngine:
             def prefill_fn(params, tokens, cache, slot, length):
                 return pp_mod.pp_prefill(params, p, tokens, cache, slot, length, pp_mesh)
 
-            def decode_fn(params, tokens, cache, positions, sampling, key, window):
+            def decode_fn(params, tokens, cache, positions, sampling, key,
+                          presence, window):
                 logits, cache = pp_mod.pp_decode_step(
                     params, p, tokens, cache, positions, pp_mesh, window=window)
-                return sample(logits, sampling, key), cache
+                toks, lp, presence = sample_with_logprobs(
+                    logits, sampling, key, presence)
+                return toks, lp, cache, presence
 
             def decode_multi_fn(params, tokens, cache, positions, sampling,
-                                key, window, horizon):
+                                key, presence, window, horizon):
                 def body(carry, _):
-                    toks, cache, pos, key = carry
+                    toks, cache, pos, key, presence = carry
                     key, sub = jax.random.split(key)
                     logits, cache = pp_mod.pp_decode_step(
                         params, p, toks, cache, pos, pp_mesh, window=window)
-                    toks = sample(logits, sampling, sub)
+                    toks, lp, presence = sample_with_logprobs(
+                        logits, sampling, sub, presence)
                     pos = jnp.where(pos >= 0, pos + 1, pos)
-                    return (toks, cache, pos, key), toks
+                    return (toks, cache, pos, key, presence), (toks, lp)
 
-                (_, cache, _, _), out = jax.lax.scan(
-                    body, (tokens, cache, positions, key), None, length=horizon)
-                return out, cache
+                (_, cache, _, _, presence), (out, lps) = jax.lax.scan(
+                    body, (tokens, cache, positions, key, presence), None,
+                    length=horizon)
+                return out, lps, cache, presence
         else:
 
             def prefill_fn(params, tokens, cache, slot, length):
                 return llama.prefill(params, p, tokens, cache, slot, length)
 
-            def decode_fn(params, tokens, cache, positions, sampling, key, window):
+            def decode_fn(params, tokens, cache, positions, sampling, key,
+                          presence, window):
                 """Decode + sample in ONE dispatch: host round-trips cost
                 ~4 ms each on remote-device setups, so the loop fetches only
                 the sampled token ids. `window` (static) bounds KV reads to
@@ -390,27 +410,31 @@ class GenerationEngine:
                 logits, cache = llama.decode_step(
                     params, p, tokens, cache, positions, window=window
                 )
-                return sample(logits, sampling, key), cache
+                toks, lp, presence = sample_with_logprobs(
+                    logits, sampling, key, presence)
+                return toks, lp, cache, presence
 
             def decode_multi_fn(params, tokens, cache, positions, sampling,
-                                key, window, horizon):
+                                key, presence, window, horizon):
                 """`horizon` fused decode+sample steps in one dispatch (see
                 GenerationConfig.decode_horizon)."""
 
                 def body(carry, _):
-                    toks, cache, pos, key = carry
+                    toks, cache, pos, key, presence = carry
                     key, sub = jax.random.split(key)
                     logits, cache = llama.decode_step(
                         params, p, toks, cache, pos, window=window
                     )
-                    toks = sample(logits, sampling, sub)
+                    toks, lp, presence = sample_with_logprobs(
+                        logits, sampling, sub, presence)
                     pos = jnp.where(pos >= 0, pos + 1, pos)
-                    return (toks, cache, pos, key), toks
+                    return (toks, cache, pos, key, presence), (toks, lp)
 
-                (_, cache, _, _), out = jax.lax.scan(
-                    body, (tokens, cache, positions, key), None, length=horizon
+                (_, cache, _, _, presence), (out, lps) = jax.lax.scan(
+                    body, (tokens, cache, positions, key, presence), None,
+                    length=horizon,
                 )
-                return out, cache
+                return out, lps, cache, presence
 
             def prefill_chunk_fn(params, tokens, cache, slot, start, length, window):
                 return llama.prefill_chunk(
@@ -426,7 +450,8 @@ class GenerationEngine:
         self._decode_multi_jit = jax.jit(
             decode_multi_fn, donate_argnums=(2,), static_argnames=("window", "horizon")
         )
-        self._sample_jit = jax.jit(sample)
+        self._sample_jit = jax.jit(sample_with_logprobs)
+        self._presence = jnp.zeros((self.n_slots, p.vocab_size), jnp.bool_)
 
         self._running = True
         self._thread = threading.Thread(target=self._loop, name="tpuserve-genloop", daemon=True)
@@ -505,7 +530,9 @@ class GenerationEngine:
     # ------------------------------------------------------------------ API
     def submit(self, prompt_ids: List[int], max_new_tokens: Optional[int] = None,
                temperature: float = 0.0, top_k: int = 0, top_p: float = 1.0,
-               seed: Optional[int] = None) -> Request:
+               seed: Optional[int] = None, repetition_penalty: float = 1.0,
+               stop_token_ids: Optional[List[int]] = None,
+               logprobs: bool = False) -> Request:
         if not self._running:
             raise BackendError("engine is not running")
         prompt_ids = [int(t) for t in prompt_ids]
@@ -521,6 +548,9 @@ class GenerationEngine:
             temperature=float(temperature),
             top_k=int(top_k),
             top_p=float(top_p),
+            repetition_penalty=float(repetition_penalty),
+            stop_token_ids=[int(t) for t in (stop_token_ids or [])],
+            want_logprobs=bool(logprobs),
             id=next(self._req_ids),
         )
         self._pending.put(req)
@@ -533,12 +563,15 @@ class GenerationEngine:
         req.done.wait()
         if req.error:
             raise BackendError(req.error)
-        return {
+        out = {
             "output_ids": list(req.prompt_ids) + list(req.output_ids),
             "generated_ids": list(req.output_ids),
             "num_generated": len(req.output_ids),
             "finish_reason": req.finish_reason,
         }
+        if req.want_logprobs:
+            out["logprobs"] = list(req.logprobs)
+        return out
 
     def infer_tensors(self, inputs: List[Tensor]) -> List[Tensor]:
         by_name = {t.name: t for t in inputs}
@@ -617,13 +650,20 @@ class GenerationEngine:
                 jnp.int32(slot),
                 jnp.int32(l),
             )
-        self._sampling = self._sampling.update_slot(slot, req.temperature, req.top_k, req.top_p)
+        self._sampling = self._sampling.update_slot(
+            slot, req.temperature, req.top_k, req.top_p,
+            getattr(req, "repetition_penalty", 1.0))
+        self._seed_presence(slot, req.prompt_ids)
         # sample the first generated token from prefill logits
         self._key, sub = jax.random.split(self._key)
         full_logits = jnp.zeros((self.n_slots, logits.shape[-1]), jnp.float32).at[slot].set(logits[0])
-        tok = int(np.asarray(self._sample_jit(full_logits, self._sampling, sub))[slot])
+        toks_d, lps_d, _ = self._sample_jit(full_logits, self._sampling, sub,
+                                            self._presence)
+        tok = int(np.asarray(toks_d)[slot])
+        lp0 = float(np.asarray(lps_d)[slot])
+        self._presence = self._presence.at[slot, tok].set(True)
         self.tokens_in += l
-        self._emit(req, tok)
+        self._emit(req, tok, lp0)
         st = _SlotState(request=req, next_pos=l, generated=1, last_token=tok)
         if self._retire_if_done(st):
             if self.ptm is not None:
@@ -669,18 +709,32 @@ class GenerationEngine:
             return
         # prompt fully prefilled: sample the first generated token
         self._chunking = None
-        self._sampling = self._sampling.update_slot(slot, req.temperature, req.top_k, req.top_p)
+        self._sampling = self._sampling.update_slot(
+            slot, req.temperature, req.top_k, req.top_p,
+            getattr(req, "repetition_penalty", 1.0))
+        self._seed_presence(slot, req.prompt_ids)
         self._key, sub = jax.random.split(self._key)
         full_logits = jnp.zeros((self.n_slots, logits.shape[-1]), jnp.float32).at[slot].set(logits[0])
-        tok = int(np.asarray(self._sample_jit(full_logits, self._sampling, sub))[slot])
+        toks_d, lps_d, _ = self._sample_jit(full_logits, self._sampling, sub,
+                                            self._presence)
+        tok = int(np.asarray(toks_d)[slot])
+        lp0 = float(np.asarray(lps_d)[slot])
+        self._presence = self._presence.at[slot, tok].set(True)
         self.tokens_in += len(ids)
-        self._emit(req, tok)
+        self._emit(req, tok, lp0)
         st = _SlotState(request=req, next_pos=len(ids), generated=1, last_token=tok)
         if not self._retire_if_done(st):
             self._slots[slot] = st
 
-    def _emit(self, req: Request, tok: int) -> None:
+    def _seed_presence(self, slot: int, prompt_ids: List[int]) -> None:
+        row = np.zeros((self.p.vocab_size,), np.bool_)
+        row[np.asarray(prompt_ids, np.int64)] = True
+        self._presence = self._presence.at[slot].set(jnp.asarray(row))
+
+    def _emit(self, req: Request, tok: int, logprob: Optional[float] = None) -> None:
         req.output_ids.append(tok)
+        if logprob is not None:
+            req.logprobs.append(logprob)
         req.token_queue.put(tok)
         self.tokens_out += 1
 
@@ -690,6 +744,8 @@ class GenerationEngine:
             req.finish_reason = "aborted"
         elif st.last_token == self.eos_token_id:
             req.finish_reason = "eos"
+        elif st.last_token in (req.stop_token_ids or ()):
+            req.finish_reason = "stop"
         elif st.generated >= req.max_new_tokens:
             req.finish_reason = "max_new_tokens"
         elif st.next_pos >= self.max_seq_len:
@@ -834,15 +890,19 @@ class GenerationEngine:
                 args = [self.params, jnp.asarray(tokens), self.cache]
                 if self.ptm is not None:
                     args.append(self.ptm.device_table())
-                args += [jnp.asarray(positions), self._sampling, sub]
+                args += [jnp.asarray(positions), self._sampling, sub,
+                         self._presence]
                 t_disp = time.monotonic()
                 if horizon > 1:
-                    toks_dev, self.cache = self._decode_multi_jit(
-                        *args, window=window, horizon=horizon)
+                    toks_dev, lps_dev, self.cache, self._presence = \
+                        self._decode_multi_jit(*args, window=window, horizon=horizon)
                     step_tokens = np.asarray(toks_dev)  # [H, S]
+                    step_lps = np.asarray(lps_dev)      # [H, S]
                 else:
-                    next_dev, self.cache = self._decode_jit(*args, window=window)
+                    next_dev, lp_dev, self.cache, self._presence = \
+                        self._decode_jit(*args, window=window)
                     step_tokens = np.asarray(next_dev)[None]  # [1, S]
+                    step_lps = np.asarray(lp_dev)[None]
                 # per-token EMA for the adaptive horizon (np.asarray above is
                 # a real host fetch, so the window covers device work). The
                 # first sample of a (window, horizon) combo includes compile
@@ -869,7 +929,7 @@ class GenerationEngine:
                     st.next_pos += 1
                     st.generated += 1
                     st.last_token = int(step_tokens[h, i])
-                    self._emit(st.request, st.last_token)
+                    self._emit(st.request, st.last_token, float(step_lps[h, i]))
                     if self._retire_if_done(st):
                         # tokens the scan produced past EOS/limit for this
                         # slot are discarded; its cache tail is masked by
