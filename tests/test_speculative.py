@@ -1,0 +1,176 @@
+"""Speculative decoding: batched verification step + prompt-lookup drafts.
+
+No reference counterpart (the reference has no generation machinery);
+north-star serving work: accepted drafts amortize the weight stream that
+dominates decode, with EXACT greedy outputs (acceptance compares the
+model's own argmax, so speculation never changes what is generated).
+"""
+
+import json
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from tpuserve.models import llama
+from tpuserve.models.llama import KVCache, LlamaParams
+
+P = LlamaParams(vocab_size=128, dim=32, n_layers=2, n_heads=4, n_kv_heads=2,
+                head_dim=8, ffn_dim=64)
+
+
+class TestVerifyStep:
+    @pytest.mark.parametrize("quantized", [False, True])
+    def test_matches_sequential_decode(self, quantized):
+        """verify_step over [t0, t1, t2] == three sequential decode_steps:
+        same logits at every position, same final cache."""
+        dtype = jnp.float32
+        params = llama.init_params(jax.random.PRNGKey(2), P, dtype=dtype)
+        n_slots, max_len = 2, 32
+        kw = {} if quantized else {"dtype": jnp.float32}
+        prompt = jnp.asarray([[7, 11, 23, 5]], jnp.int32)
+
+        cache_a = KVCache.create(P, n_slots, max_len, quantized=quantized, **kw)
+        cache_b = KVCache.create(P, n_slots, max_len, quantized=quantized, **kw)
+        _, cache_a = llama.prefill(params, P, prompt, cache_a, jnp.int32(0), jnp.int32(4))
+        _, cache_b = llama.prefill(params, P, prompt, cache_b, jnp.int32(0), jnp.int32(4))
+
+        chain = [9, 14, 3]
+        # sequential reference
+        seq_logits = []
+        pos = 4
+        for t in chain:
+            lg, cache_a = llama.decode_step(
+                params, P, jnp.asarray([t, 0], jnp.int32), cache_a,
+                jnp.asarray([pos, -1], jnp.int32))
+            seq_logits.append(np.asarray(lg[0]))
+            pos += 1
+        # one verification step
+        toks = jnp.asarray([[9, 14, 3], [0, 0, 0]], jnp.int32)
+        vlogits, cache_b = llama.verify_step(
+            params, P, toks, cache_b, jnp.asarray([4, -1], jnp.int32),
+            jnp.asarray([3, 0], jnp.int32))
+        tol = dict(rtol=5e-2, atol=5e-2) if quantized else dict(rtol=1e-4, atol=1e-4)
+        for j in range(3):
+            np.testing.assert_allclose(np.asarray(vlogits[0, j]), seq_logits[j], **tol)
+        assert np.all(np.asarray(vlogits[1]) == 0.0)  # inactive slot
+        # caches agree on the written region
+        np.testing.assert_allclose(
+            np.asarray(cache_b.k[:, 0, :7], jnp.float32),
+            np.asarray(cache_a.k[:, 0, :7], jnp.float32), rtol=1e-5, atol=1e-5)
+        if quantized:
+            np.testing.assert_allclose(
+                np.asarray(cache_b.k_scale[:, 0, :, :7], jnp.float32),
+                np.asarray(cache_a.k_scale[:, 0, :, :7], jnp.float32),
+                rtol=1e-5, atol=1e-6)
+
+    def test_padded_rows_do_not_corrupt(self):
+        """Rows past `lengths` must leave the cache untouched."""
+        params = llama.init_params(jax.random.PRNGKey(3), P, dtype=jnp.float32)
+        cache = KVCache.create(P, 2, 16, quantized=False, dtype=jnp.float32)
+        marker = cache.k.at[:].set(7.0)
+        cache = KVCache(k=marker, v=marker, k_scale=None, v_scale=None,
+                        flat=cache.flat)
+        toks = jnp.asarray([[5, 9, 13], [3, 0, 0]], jnp.int32)
+        _, cache = llama.verify_step(
+            params, P, toks, cache, jnp.asarray([0, 0], jnp.int32),
+            jnp.asarray([3, 1], jnp.int32))
+        k = np.asarray(cache.k, np.float32)
+        assert not np.any(k[:, 0, :3] == 7.0)   # slot 0 wrote 3 positions
+        assert not np.any(k[:, 1, :1] == 7.0)   # slot 1 wrote 1
+        assert np.all(k[:, 1, 1:] == 7.0)       # slot 1 padding untouched
+        assert np.all(k[:, 0, 3:] == 7.0)
+
+
+def _write_repo(tmp_path, name, **gen_extra):
+    vdir = os.path.join(str(tmp_path), name, "1")
+    os.makedirs(vdir, exist_ok=True)
+    cfg = {
+        "name": name, "platform": "llm", "architecture": "llama",
+        "inputs": [{"name": "input_ids", "shape": [1, -1], "data_type": "INT32"}],
+        "outputs": [{"name": "output_ids", "shape": [1, -1], "data_type": "INT32"}],
+        "model_params": {"vocab_size": 128, "dim": 32, "n_layers": 2,
+                          "n_heads": 4, "n_kv_heads": 2, "head_dim": 8,
+                          "ffn_dim": 64, "init": "random"},
+        "generation": {"max_seq_len": 96, "max_slots": 4, "eos_token_id": 2,
+                        "max_new_tokens": 8, **gen_extra},
+        "quantization": {"weights": "none", "group_size": 16, "kv_cache": "int8"},
+    }
+    with open(os.path.join(vdir, "config.json"), "w") as f:
+        json.dump(cfg, f)
+    return vdir
+
+
+class TestPromptLookup:
+    def test_proposer_matches_history(self):
+        from tpuserve.serving.engine import GenerationEngine, Request, _SlotState
+
+        req = Request(prompt_ids=[1, 2, 3, 4, 5, 1, 2, 3], max_new_tokens=8)
+        st = _SlotState(request=req, next_pos=8, generated=0, last_token=3)
+        eng = GenerationEngine.__new__(GenerationEngine)  # proposer is pure
+        prop = eng._propose_lookup(st, k=3, n=3)
+        assert prop == [4, 5, 1]  # [1,2,3] recurs at the start; continue it
+
+    def test_proposer_no_match(self):
+        from tpuserve.serving.engine import GenerationEngine, Request, _SlotState
+
+        req = Request(prompt_ids=[1, 2, 3, 4, 5], max_new_tokens=8)
+        st = _SlotState(request=req, next_pos=5, generated=0, last_token=5)
+        eng = GenerationEngine.__new__(GenerationEngine)
+        assert eng._propose_lookup(st, k=3, n=3) == []
+
+
+class TestSpeculativeEngine:
+    def _gen(self, tmp_path, name, prompt, n_tok, **gen_extra):
+        from tpuserve.repository.config import ModelConfig
+        from tpuserve.serving.engine import GenerationEngine
+
+        vdir = _write_repo(tmp_path, name, **gen_extra)
+        eng = GenerationEngine(vdir, ModelConfig.from_file(os.path.join(vdir, "config.json")))
+        eng.start()
+        try:
+            out = eng.generate(prompt, max_new_tokens=n_tok, logprobs=True)
+            stats = eng.serving_stats()
+        finally:
+            eng.stop()
+        return out, stats
+
+    def test_exact_greedy_equivalence(self, tmp_path):
+        """Speculation must NEVER change greedy outputs — acceptance
+        compares the model's own argmax. Repetitive prompts make the
+        lookup fire; random-init weights make most drafts reject: both
+        paths are exercised."""
+        prompts = [
+            [5, 9, 13, 5, 9, 13, 5, 9, 13, 5, 9],  # periodic: lookup fires
+            [7, 21, 3, 44, 8, 100, 62],             # aperiodic: no drafts
+        ]
+        for pi, prompt in enumerate(prompts):
+            ref, _ = self._gen(tmp_path, f"spec_ref{pi}", prompt, 16)
+            out, stats = self._gen(tmp_path, f"spec_on{pi}", prompt, 16,
+                                   speculation_tokens=4)
+            assert out["output_ids"] == ref["output_ids"], prompt
+            assert out["finish_reason"] == ref["finish_reason"]
+            assert len(out["logprobs"]) == out["num_generated"]
+        # the periodic prompt must actually have drafted
+        _, stats = self._gen(tmp_path, "spec_stats",
+                             [5, 9, 13] * 6, 16, speculation_tokens=4)
+        assert stats.get("spec_drafted", 0) > 0
+
+    def test_sampled_slots_fall_back(self, tmp_path):
+        """temperature > 0 disables speculation (falls through to the normal
+        sampler) without breaking generation."""
+        from tpuserve.repository.config import ModelConfig
+        from tpuserve.serving.engine import GenerationEngine
+
+        vdir = _write_repo(tmp_path, "spec_tmp", speculation_tokens=4)
+        eng = GenerationEngine(vdir, ModelConfig.from_file(os.path.join(vdir, "config.json")))
+        eng.start()
+        try:
+            out = eng.generate([5, 9, 13] * 4, max_new_tokens=8,
+                               temperature=0.8, seed=1)
+            assert out["num_generated"] >= 1
+            assert eng.serving_stats().get("spec_drafted", 0) == 0
+        finally:
+            eng.stop()

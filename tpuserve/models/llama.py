@@ -645,6 +645,119 @@ def _gqa_decode_attention(q, k_all, v_all, k_scale, v_scale, read_mask,
     return out.astype(out_dtype).reshape(s, p.n_heads * p.head_dim)
 
 
+def verify_step(params, p: LlamaParams, tokens: jax.Array, cache: KVCache,
+                positions: jax.Array, lengths: jax.Array,
+                window: Optional[int] = None):
+    """Speculative-decoding verification: process C candidate tokens per
+    slot in ONE batched step (prompt-lookup / draft verification).
+
+    tokens [S, C] int32 — column 0 is the slot's real next token, columns
+    1.. a drafted continuation (right-padded); positions [S] — where column
+    0 goes (-1 = inactive); lengths [S] — valid tokens per row (>= 1).
+    Returns (logits [S, C, V] f32 — position j's logits predict token j+1 —
+    and the updated cache).
+
+    All C tokens write their K/V before attention reads (same order as
+    decode_step), so draft token j attends to drafts < j through the cache
+    itself. Cache entries for REJECTED drafts become stale-but-harmless:
+    every future read masks kpos <= the slot's live position and later
+    writes overwrite — the same invariant the fused decode horizon relies
+    on for its post-EOS over-generation.
+    """
+    s, c = tokens.shape
+    active = positions >= 0
+    pos0 = jnp.maximum(positions, 0)
+    l_max = cache.max_len
+    pos_c = jnp.minimum(pos0[:, None] + jnp.arange(c, dtype=jnp.int32)[None, :],
+                        l_max - 1)  # [S, C]
+    valid = active[:, None] & (
+        jnp.arange(c, dtype=jnp.int32)[None, :] < lengths[:, None])
+    x = params["embed/weight"][tokens]  # [S, C, D]
+    cos, sin = rope_cos_sin(pos_c, p.head_dim, p.rope_theta)  # [S, C, hd/2]
+    cos_q, sin_q = cos[:, :, None, :], sin[:, :, None, :]
+    win = l_max if window is None else min(int(window), l_max)
+    kpos = jnp.arange(win, dtype=jnp.int32)
+    read_mask = kpos[None, None, :] <= pos_c[:, :, None]  # [S, C, win]
+
+    new_cache = cache
+    slot_idx = jnp.arange(s, dtype=jnp.int32)
+
+    for layer in range(p.n_layers):
+        pre = f"layers.{layer}"
+
+        def attn_fn(q, k, v, layer=layer):
+            nonlocal new_cache
+            q = q.reshape(s, c, p.n_heads, p.head_dim)
+            k = k.reshape(s, c, p.n_kv_heads, p.head_dim)
+            v = v.reshape(s, c, p.n_kv_heads, p.head_dim)
+            q = apply_rope(q, cos_q, sin_q)
+            k = apply_rope(k, cos_q, sin_q)
+
+            if new_cache.quantized:
+                kq, ks = _quantize_kv(k)  # [S, C, Hkv, hd], [S, C, Hkv]
+                vq, vs = _quantize_kv(v)
+                ks = ks.astype(new_cache.k_scale.dtype)
+                vs = vs.astype(new_cache.v_scale.dtype)
+            else:
+                kq = k.astype(new_cache.k.dtype)
+                vq = v.astype(new_cache.v.dtype)
+                ks = vs = None
+            if new_cache.flat:
+                kq, vq = kq.reshape(s, c, -1), vq.reshape(s, c, -1)
+            sidx = slot_idx[:, None]  # [S, 1] broadcasts against pos_c [S, C]
+
+            def masked(new, old_arr):
+                old = old_arr[layer, sidx, pos_c]
+                m = valid.reshape((s, c) + (1,) * (new.ndim - 2))
+                return jnp.where(m, new, old)
+
+            def masked_sc(new, old_arr):  # head-major scale cache
+                old = old_arr[layer, sidx, :, pos_c]
+                m = valid.reshape((s, c) + (1,) * (new.ndim - 2))
+                return jnp.where(m, new, old)
+
+            new_cache = KVCache(
+                k=new_cache.k.at[layer, sidx, pos_c].set(masked(kq.astype(new_cache.k.dtype), new_cache.k)),
+                v=new_cache.v.at[layer, sidx, pos_c].set(masked(vq.astype(new_cache.v.dtype), new_cache.v)),
+                k_scale=None if ks is None else new_cache.k_scale.at[layer, sidx, :, pos_c].set(masked_sc(ks, new_cache.k_scale)),
+                v_scale=None if vs is None else new_cache.v_scale.at[layer, sidx, :, pos_c].set(masked_sc(vs, new_cache.v_scale)),
+                flat=new_cache.flat,
+            )
+
+            k_all = new_cache.k[layer, :, :win]  # [S, win, ...]
+            v_all = new_cache.v[layer, :, :win]
+            if new_cache.flat:
+                k_all = k_all.reshape(s, win, p.n_kv_heads, p.head_dim)
+                v_all = v_all.reshape(s, win, p.n_kv_heads, p.head_dim)
+            if new_cache.quantized:
+                k_scale = new_cache.k_scale[layer, :, :, :win]  # [S, Hkv, win]
+                v_scale = new_cache.v_scale[layer, :, :, :win]
+            else:
+                k_scale = v_scale = None
+            n_rep = p.n_heads // p.n_kv_heads
+            qg = q.reshape(s, c, p.n_kv_heads, n_rep, p.head_dim)
+            cdt = jnp.float32 if k_all.dtype == jnp.float32 else jnp.bfloat16
+            scores = jnp.einsum(
+                "schrd,slhd->schrl", qg.astype(cdt), k_all.astype(cdt),
+                preferred_element_type=jnp.float32)  # [S, C, Hkv, rep, win]
+            if k_scale is not None:
+                scores = scores * k_scale[:, None, :, None, :]
+            scores = scores / math.sqrt(p.head_dim)
+            scores = jnp.where(read_mask[:, :, None, None, :], scores, -1e30)
+            probs = jax.nn.softmax(scores, axis=-1)
+            if v_scale is not None:
+                probs = probs * v_scale[:, None, :, None, :]
+            out = jnp.einsum(
+                "schrl,slhd->schrd", probs.astype(cdt), v_all.astype(cdt),
+                preferred_element_type=jnp.float32)
+            return out.astype(x.dtype).reshape(s, c, p.n_heads * p.head_dim)
+
+        x = _forward_block(params, pre, x, p, attn_fn)
+
+    logits = _logits(params, x.reshape(s * c, -1), p).reshape(s, c, -1)
+    return jnp.where(valid[:, :, None], logits, 0.0), new_cache
+
+
 def decode_step(params, p: LlamaParams, tokens: jax.Array, cache: KVCache,
                 positions: jax.Array, window: Optional[int] = None):
     """One continuous-batching decode step over all S slots.

@@ -154,6 +154,15 @@ class GenerationConfig:
     # slow large-batch/long-context decode drops toward per-step streaming
     # so token cadence and admission latency stay under the SLO. 0 = fixed.
     target_burst_ms: float = 0.0
+    # Speculative decoding (prompt-lookup): draft up to this many tokens per
+    # step by matching the sequence's trailing n-gram against its own
+    # history, verify all drafts in ONE batched step, and accept the prefix
+    # that matches the model's own argmax — greedy outputs are EXACT, and
+    # accepted tokens amortize the weight stream that dominates decode.
+    # 0 = off. Active only for greedy (temperature 0, repetition_penalty 1)
+    # slots in contiguous (non-paged, non-pipeline) mode.
+    speculation_tokens: int = 0
+    speculation_ngram: int = 3
     eos_token_id: int = 2
     temperature: float = 0.0
     top_k: int = 0

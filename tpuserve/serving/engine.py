@@ -106,6 +106,9 @@ class GenerationEngine:
         self._prefill_chunk_jit = None
         self._prefill_suffix_jit = None  # paged prefix-sharing suffix prefill
         self._tok_ms_ema: Optional[float] = None  # adaptive-horizon EMA
+        self._verify_jit = None  # speculative verification (plain mode)
+        self.spec_drafted = 0   # drafted tokens proposed
+        self.spec_accepted = 0  # drafted tokens accepted
         self._horizon_last = 1
         self._thread: Optional[threading.Thread] = None
         self._running = False
@@ -436,6 +439,20 @@ class GenerationEngine:
                 )
                 return out, lps, cache, presence
 
+            def verify_fn(params, tokens, cache, positions, lengths, window):
+                """Speculative verification: greedy tokens + logprobs for C
+                candidate positions per slot in one dispatch."""
+                logits, cache = llama.verify_step(
+                    params, p, tokens, cache, positions, lengths, window=window)
+                lf = logits.astype(jnp.float32)
+                toks = jnp.argmax(lf, axis=-1).astype(jnp.int32)
+                lse = jax.nn.logsumexp(lf, axis=-1)
+                lp = jnp.take_along_axis(lf, toks[..., None], axis=-1)[..., 0] - lse
+                return toks, lp, cache
+
+            self._verify_jit = jax.jit(
+                verify_fn, donate_argnums=(2,), static_argnames=("window",))
+
             def prefill_chunk_fn(params, tokens, cache, slot, start, length, window):
                 return llama.prefill_chunk(
                     params, p, tokens, cache, slot, start, length, window=window
@@ -516,6 +533,9 @@ class GenerationEngine:
             "paged": self.ptm is not None,
         }
         stats["decode_horizon_last"] = self._horizon_last
+        if self.spec_drafted:
+            stats["spec_drafted"] = self.spec_drafted
+            stats["spec_accepted"] = self.spec_accepted
         if self._tok_ms_ema is not None:
             stats["decode_token_ms_ema"] = round(self._tok_ms_ema, 3)
         if self.ptm is not None:
@@ -756,6 +776,86 @@ class GenerationEngine:
         req.done.set()
         return True
 
+    def _propose_lookup(self, st: _SlotState, k: int, n: int) -> List[int]:
+        """Prompt-lookup draft: match the sequence's trailing n-gram against
+        its own history (prompt + generated) and propose the k tokens that
+        followed the most recent earlier occurrence."""
+        hist = st.request.prompt_ids + st.request.output_ids
+        if len(hist) < n + 1:
+            return []
+        pat = hist[-n:]
+        for j in range(len(hist) - n - 1, -1, -1):
+            if hist[j : j + n] == pat:
+                out = hist[j + n : j + n + k]
+                return [int(t) for t in out]
+        return []
+
+    def _spec_step(self, active, positions, tokens, spec_k: int) -> bool:
+        """One speculative iteration. Returns False when no slot has a
+        draft (caller falls through to the normal decode dispatch)."""
+        n = int(getattr(self.config.generation, "speculation_ngram", 3) or 3)
+        c = spec_k + 1
+        props: Dict[int, List[int]] = {}
+        for i in active:
+            st = self._slots[i]
+            room = self.max_seq_len - 1 - st.next_pos - 1  # drafts beyond col 0
+            prop = self._propose_lookup(st, min(spec_k, max(0, room)), n)
+            props[i] = prop
+        if not any(props.values()):
+            return False
+        toks = np.zeros((self.n_slots, c), np.int32)
+        lens = np.zeros((self.n_slots,), np.int32)
+        for i in active:
+            st = self._slots[i]
+            row = [st.last_token] + props[i]
+            toks[i, : len(row)] = row
+            lens[i] = len(row)
+        window = self.max_seq_len
+        n_buckets = int(self.config.generation.decode_buckets)
+        if n_buckets > 0:
+            last_pos = max(positions[i] for i in active) + c - 1
+            w = max(64, self.max_seq_len >> n_buckets)
+            while w <= last_pos:
+                w *= 2
+            window = min(w, self.max_seq_len)
+        try:
+            toks_d, lps_d, self.cache = self._verify_jit(
+                self.params, jnp.asarray(toks), self.cache,
+                jnp.asarray(positions), jnp.asarray(lens), window=window)
+            g = np.asarray(toks_d)   # [S, C] greedy continuations
+            lps = np.asarray(lps_d)  # [S, C]
+        except Exception as e:
+            for i in active:
+                st = self._slots[i]
+                st.request.error = str(e)
+                st.request.token_queue.put(None)
+                st.request.done.set()
+                self._slots[i] = None
+            return True
+        self.steps += 1
+        self._horizon_last = 1
+        for i in list(active):
+            st = self._slots[i]
+            prop = props[i]
+            a = 0
+            while a < len(prop) and prop[a] == int(g[i, a]):
+                a += 1
+            self.spec_drafted += len(prop)
+            self.spec_accepted += a
+            seq = prop[:a] + [int(g[i, a])]
+            for j, t in enumerate(seq):
+                st.next_pos += 1
+                st.generated += 1
+                st.last_token = int(t)
+                self._emit(st.request, st.last_token, float(lps[i, j]))
+                if self._retire_if_done(st):
+                    # tokens past EOS/stop in the accepted run are discarded;
+                    # their cache entries are masked by position (the same
+                    # invariant the fused horizon relies on)
+                    self._slots[i] = None
+                    break
+        return True
+
     def _loop(self) -> None:
         try:
             self._loop_inner()
@@ -885,6 +985,19 @@ class GenerationEngine:
                     except Exception:
                         horizon = 1
                         break
+            # ---- speculative decoding (prompt-lookup): when every active
+            # slot is greedy + unpenalized and at least one has a draft,
+            # verify all drafts in ONE dispatch and accept the argmax-
+            # matching prefix — outputs are exactly the greedy sequence.
+            spec_k = int(getattr(self.config.generation, "speculation_tokens", 0) or 0)
+            if (spec_k > 0 and self._verify_jit is not None
+                    and self._pending.empty() and self._chunking is None
+                    and all(self._slots[i].request.temperature <= 0
+                            and self._slots[i].request.repetition_penalty == 1.0
+                            and not self._slots[i].request.aborted
+                            for i in active)):
+                if self._spec_step(active, positions, tokens, spec_k):
+                    continue
             try:
                 self._key, sub = jax.random.split(self._key)
                 args = [self.params, jnp.asarray(tokens), self.cache]
