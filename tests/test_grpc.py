@@ -99,6 +99,18 @@ def test_generate_and_stream(served):
     streamed = [c.token for c in chunks if not c.done]
     assert streamed == list(resp.generated_ids)
 
+    # round-2 params: logprobs + stop ids flow through the proto
+    req2 = pb.GenerateRequest(name="tiny_llm", input_ids=[5, 17, 100],
+                              max_new_tokens=5, logprobs=True)
+    resp2 = served.generate(req2)
+    assert len(resp2.logprobs) == resp2.num_generated
+    assert all(lp <= 0.0 for lp in resp2.logprobs)
+    first = resp.generated_ids[0]
+    req3 = pb.GenerateRequest(name="tiny_llm", input_ids=[5, 17, 100],
+                              max_new_tokens=5, stop_token_ids=[first])
+    resp3 = served.generate(req3)
+    assert resp3.finish_reason == "stop" and resp3.num_generated == 1
+
 
 def test_metrics(served):
     resp = served.metrics(pb.MetricsRequest())

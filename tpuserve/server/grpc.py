@@ -211,6 +211,12 @@ class TpuServeService:
             kw["top_k"] = request.top_k
         if request.top_p:
             kw["top_p"] = request.top_p
+        if request.repetition_penalty and request.repetition_penalty != 1.0:
+            kw["repetition_penalty"] = request.repetition_penalty
+        if request.stop_token_ids:
+            kw["stop_token_ids"] = list(request.stop_token_ids)
+        if request.logprobs:
+            kw["logprobs"] = True
         return backend.engine, list(request.input_ids), kw, model
 
     def Generate(self, request, context):
@@ -227,6 +233,7 @@ class TpuServeService:
             generated_ids=result["generated_ids"],
             num_generated=result["num_generated"],
             finish_reason=result["finish_reason"],
+            logprobs=result.get("logprobs", []),
         )
 
     def GenerateStream(self, request, context):
