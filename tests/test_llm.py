@@ -534,3 +534,30 @@ class TestSamplingFeatures:
             assert "logprobs" not in out2
         finally:
             eng.stop()
+
+
+class TestMinP:
+    def test_min_p_masks_tail(self):
+        """min_p keeps only tokens with p >= min_p * p_max: with a sharp
+        distribution and min_p=0.5, sampling can only pick the two strong
+        tokens regardless of the key."""
+        from tpuserve.serving.sampling import SamplingParams, sample
+
+        logits = jnp.asarray([[5.0, 4.9, 0.0, -2.0]])
+        params = SamplingParams.create(1, temperature=1.0, min_p=0.5)
+        picks = {int(sample(logits, params, jax.random.PRNGKey(k))[0])
+                 for k in range(40)}
+        assert picks <= {0, 1}
+        assert len(picks) == 2  # both survivors actually reachable
+
+    def test_min_p_engine_runs(self, tmp_path):
+        vdir = _write_llm_repo(tmp_path, name="minp_engine")
+        cfg = ModelConfig.from_file(os.path.join(vdir, "config.json"))
+        eng = GenerationEngine(vdir, cfg)
+        eng.start()
+        try:
+            out = eng.generate([5, 17, 100], max_new_tokens=6,
+                               temperature=0.9, min_p=0.2, seed=3)
+            assert out["num_generated"] >= 1
+        finally:
+            eng.stop()

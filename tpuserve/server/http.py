@@ -405,8 +405,8 @@ async def handle_generate(request):
     if not hasattr(backend, "generate"):
         return _json_error(400, f"model '{name}' is not a generative model")
     kw = {}
-    for k in ("max_new_tokens", "temperature", "top_k", "top_p", "seed",
-              "repetition_penalty", "stop_token_ids", "logprobs"):
+    for k in ("max_new_tokens", "temperature", "top_k", "top_p", "min_p",
+              "seed", "repetition_penalty", "stop_token_ids", "logprobs"):
         if k in body:
             kw[k] = body[k]
 

@@ -53,6 +53,7 @@ class Request:
     temperature: float = 0.0
     top_k: int = 0
     top_p: float = 1.0
+    min_p: float = 0.0
     repetition_penalty: float = 1.0  # CTRL-style, over prompt + generated
     stop_token_ids: List[int] = dataclasses.field(default_factory=list)
     want_logprobs: bool = False
@@ -551,6 +552,7 @@ class GenerationEngine:
     def submit(self, prompt_ids: List[int], max_new_tokens: Optional[int] = None,
                temperature: float = 0.0, top_k: int = 0, top_p: float = 1.0,
                seed: Optional[int] = None, repetition_penalty: float = 1.0,
+               min_p: float = 0.0,
                stop_token_ids: Optional[List[int]] = None,
                logprobs: bool = False) -> Request:
         if not self._running:
@@ -569,6 +571,7 @@ class GenerationEngine:
             top_k=int(top_k),
             top_p=float(top_p),
             repetition_penalty=float(repetition_penalty),
+            min_p=float(min_p),
             stop_token_ids=[int(t) for t in (stop_token_ids or [])],
             want_logprobs=bool(logprobs),
             id=next(self._req_ids),
@@ -672,7 +675,8 @@ class GenerationEngine:
             )
         self._sampling = self._sampling.update_slot(
             slot, req.temperature, req.top_k, req.top_p,
-            getattr(req, "repetition_penalty", 1.0))
+            getattr(req, "repetition_penalty", 1.0),
+            getattr(req, "min_p", 0.0))
         self._seed_presence(slot, req.prompt_ids)
         # sample the first generated token from prefill logits
         self._key, sub = jax.random.split(self._key)
@@ -731,7 +735,8 @@ class GenerationEngine:
         self._chunking = None
         self._sampling = self._sampling.update_slot(
             slot, req.temperature, req.top_k, req.top_p,
-            getattr(req, "repetition_penalty", 1.0))
+            getattr(req, "repetition_penalty", 1.0),
+            getattr(req, "min_p", 0.0))
         self._seed_presence(slot, req.prompt_ids)
         self._key, sub = jax.random.split(self._key)
         full_logits = jnp.zeros((self.n_slots, logits.shape[-1]), jnp.float32).at[slot].set(logits[0])
@@ -781,14 +786,18 @@ class GenerationEngine:
         its own history (prompt + generated) and propose the k tokens that
         followed the most recent earlier occurrence."""
         hist = st.request.prompt_ids + st.request.output_ids
-        if len(hist) < n + 1:
+        if len(hist) < n + 1 or k <= 0:
             return []
-        pat = hist[-n:]
-        for j in range(len(hist) - n - 1, -1, -1):
-            if hist[j : j + n] == pat:
-                out = hist[j + n : j + n + k]
-                return [int(t) for t in out]
-        return []
+        arr = np.asarray(hist, np.int64)
+        pat = arr[-n:]
+        # vectorized rightmost-match: windows of length n ending before the
+        # trailing n-gram itself
+        win = np.lib.stride_tricks.sliding_window_view(arr[:-1], n)
+        hits = np.nonzero((win == pat).all(axis=1))[0]
+        if len(hits) == 0:
+            return []
+        j = int(hits[-1])
+        return [int(t) for t in arr[j + n : j + n + k]]
 
     def _spec_step(self, active, positions, tokens, spec_k: int) -> bool:
         """One speculative iteration. Returns False when no slot has a

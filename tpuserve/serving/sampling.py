@@ -23,10 +23,11 @@ class SamplingParams:
     top_k: jax.Array  # 0 -> disabled
     top_p: jax.Array  # 1 -> disabled
     repetition_penalty: jax.Array  # 1 -> disabled (CTRL-style)
+    min_p: jax.Array  # 0 -> disabled (keep tokens with p >= min_p * p_max)
 
     def tree_flatten(self):
         return (self.temperature, self.top_k, self.top_p,
-                self.repetition_penalty), ()
+                self.repetition_penalty, self.min_p), ()
 
     @classmethod
     def tree_unflatten(cls, aux, children):
@@ -34,23 +35,26 @@ class SamplingParams:
 
     @classmethod
     def create(cls, n_slots: int, temperature=0.0, top_k=0, top_p=1.0,
-               repetition_penalty=1.0) -> "SamplingParams":
+               repetition_penalty=1.0, min_p=0.0) -> "SamplingParams":
         return cls(
             temperature=jnp.full((n_slots,), float(temperature), jnp.float32),
             top_k=jnp.full((n_slots,), int(top_k), jnp.int32),
             top_p=jnp.full((n_slots,), float(top_p), jnp.float32),
             repetition_penalty=jnp.full((n_slots,), float(repetition_penalty),
                                         jnp.float32),
+            min_p=jnp.full((n_slots,), float(min_p), jnp.float32),
         )
 
     def update_slot(self, slot: int, temperature: float, top_k: int,
-                    top_p: float, repetition_penalty: float = 1.0) -> "SamplingParams":
+                    top_p: float, repetition_penalty: float = 1.0,
+                    min_p: float = 0.0) -> "SamplingParams":
         return SamplingParams(
             temperature=self.temperature.at[slot].set(float(temperature)),
             top_k=self.top_k.at[slot].set(int(top_k)),
             top_p=self.top_p.at[slot].set(float(top_p)),
             repetition_penalty=self.repetition_penalty.at[slot].set(
                 float(repetition_penalty)),
+            min_p=self.min_p.at[slot].set(float(min_p)),
         )
 
 
@@ -102,6 +106,13 @@ def sample(logits: jax.Array, params: SamplingParams, key: jax.Array,
     keep_sorted = (cum - sorted_probs) < params.top_p[:, None]  # always keeps rank 0
     keep = jnp.zeros_like(keep_sorted).at[jnp.arange(s)[:, None], sort_idx].set(keep_sorted)
     scaled = jnp.where(keep, scaled, -jnp.inf)
+
+    # min-p mask: drop tokens whose (temperature-scaled) probability falls
+    # below min_p * p_max — adaptive truncation that tracks distribution
+    # sharpness better than a fixed top-k/p
+    probs = jax.nn.softmax(scaled, axis=-1)
+    pmax = jnp.max(probs, axis=-1, keepdims=True)
+    scaled = jnp.where(probs >= params.min_p[:, None] * pmax, scaled, -jnp.inf)
 
     gumbel = -jnp.log(-jnp.log(jax.random.uniform(key, (s, v), minval=1e-10, maxval=1.0)))
     sampled = jnp.argmax(scaled + gumbel, axis=-1).astype(jnp.int32)
