@@ -160,3 +160,29 @@ class TestEvalHarness:
         result = eval_accuracy.evaluate(str(tmp_path), "ll", "", samples=32, seed=0)
         assert result["metric"] == "perplexity"
         assert "delta" in result
+
+
+class TestMoEAccuracy:
+    """Quantized MoE (stacked QExperts) tracks the fp32 MoE closely —
+    the same relative-ppl gate as the dense model."""
+
+    def _setup(self):
+        p = dict(vocab_size=256, dim=128, n_layers=2, n_heads=4, n_kv_heads=4,
+                 head_dim=32, ffn_dim=128, n_experts=4, n_experts_per_tok=2)
+        arch = get_architecture(ModelConfig(name="moe", architecture="mixtral",
+                                            model_params=p))
+        params = arch.init(jax.random.PRNGKey(5))
+        params = {k: jnp.asarray(v, jnp.float32) for k, v in params.items()}
+        tokens = np.random.default_rng(1).integers(0, 256, (4, 48)).astype(np.int32)
+        return arch, params, tokens
+
+    @pytest.mark.parametrize("bits,tol", [(8, 0.02), (4, 0.15)])
+    def test_moe_perplexity_gate(self, bits, tol):
+        arch, params, tokens = self._setup()
+        base = _perplexity(arch, params, tokens)
+        q = quantize_param_tree(params, bits=bits, group_size=32,
+                                predicate=arch.quant_predicate)
+        from tpuserve.quant.core import QExperts
+        assert any(isinstance(v, QExperts) for v in q.values())
+        ppl = _perplexity(arch, q, tokens)
+        assert abs(ppl - base) / base < tol, (base, ppl)

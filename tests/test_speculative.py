@@ -174,3 +174,64 @@ class TestSpeculativeEngine:
             assert eng.serving_stats().get("spec_drafted", 0) == 0
         finally:
             eng.stop()
+
+
+class TestSpecCompositions:
+    def test_spec_with_decode_buckets(self, tmp_path):
+        """Speculation + KV window bucketing: windows cover the drafted
+        positions; outputs stay exactly greedy."""
+        from tpuserve.repository.config import ModelConfig
+        from tpuserve.serving.engine import GenerationEngine
+
+        prompt = [5, 9, 13] * 5
+        outs = {}
+        for name, extra in (("b_ref", {}),
+                            ("b_spec", {"speculation_tokens": 4,
+                                         "decode_buckets": 3})):
+            vdir = _write_repo(tmp_path, name, **extra)
+            eng = GenerationEngine(vdir, ModelConfig.from_file(
+                os.path.join(vdir, "config.json")))
+            eng.start()
+            try:
+                outs[name] = eng.generate(prompt, max_new_tokens=12)["output_ids"]
+            finally:
+                eng.stop()
+        assert outs["b_ref"] == outs["b_spec"]
+
+    def test_spec_with_moe(self, tmp_path):
+        """verify_step flows through the MoE FFN (same _forward_block)."""
+        from tpuserve.repository.config import ModelConfig
+        from tpuserve.serving.engine import GenerationEngine
+
+        def write(name, extra):
+            vdir = os.path.join(str(tmp_path), name, "1")
+            os.makedirs(vdir, exist_ok=True)
+            cfg = {
+                "name": name, "platform": "llm", "architecture": "mixtral",
+                "inputs": [{"name": "input_ids", "shape": [1, -1], "data_type": "INT32"}],
+                "outputs": [{"name": "output_ids", "shape": [1, -1], "data_type": "INT32"}],
+                "model_params": {"vocab_size": 128, "dim": 32, "n_layers": 2,
+                                  "n_heads": 4, "n_kv_heads": 2, "head_dim": 8,
+                                  "ffn_dim": 48, "n_experts": 4,
+                                  "n_experts_per_tok": 2, "init": "random"},
+                "generation": {"max_seq_len": 96, "max_slots": 4,
+                                "eos_token_id": 2, "max_new_tokens": 8, **extra},
+                "quantization": {"weights": "int8", "group_size": 16,
+                                  "kv_cache": "int8"},
+            }
+            with open(os.path.join(vdir, "config.json"), "w") as f:
+                json.dump(cfg, f)
+            return vdir
+
+        prompt = [5, 9, 13] * 5
+        outs = {}
+        for name, extra in (("m_ref", {}), ("m_spec", {"speculation_tokens": 3})):
+            vdir = write(name, extra)
+            eng = GenerationEngine(vdir, ModelConfig.from_file(
+                os.path.join(vdir, "config.json")))
+            eng.start()
+            try:
+                outs[name] = eng.generate(prompt, max_new_tokens=10)["output_ids"]
+            finally:
+                eng.stop()
+        assert outs["m_ref"] == outs["m_spec"]

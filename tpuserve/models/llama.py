@@ -1313,4 +1313,8 @@ class Llama(Architecture):
         return {"logits": _logits(params, x, p)}
 
     def quant_predicate(self, name: str, arr) -> bool:
-        return arr.ndim == 2 and name.endswith("kernel")
+        # 2-D projections + stacked 3-D MoE expert weights; routers stay
+        # bf16 (routing decisions are precision-sensitive)
+        if "router" in name:
+            return False
+        return arr.ndim in (2, 3) and name.endswith("kernel")
