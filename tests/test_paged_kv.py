@@ -138,7 +138,8 @@ class TestPagedModelMath:
         assert np.all(logits_pl[1] == 0.0)
 
 
-def _paged_repo(tmp_path, name="paged_llm", paged=True, num_pages=0, max_slots=3):
+def _paged_repo(tmp_path, name="paged_llm", paged=True, num_pages=0, max_slots=3,
+                **gen_extra):
     vdir = os.path.join(str(tmp_path), name, "1")
     os.makedirs(vdir, exist_ok=True)
     cfg = {
@@ -149,7 +150,7 @@ def _paged_repo(tmp_path, name="paged_llm", paged=True, num_pages=0, max_slots=3
                           "ffn_dim": P.ffn_dim, "init": "random"},
         "generation": {"max_seq_len": 64, "max_slots": max_slots, "page_size": 16,
                         "paged": paged, "num_pages": num_pages,
-                        "eos_token_id": 2, "max_new_tokens": 6},
+                        "eos_token_id": 2, "max_new_tokens": 6, **gen_extra},
         "quantization": {"kv_cache": "int8"},
     }
     with open(os.path.join(vdir, "config.json"), "w") as f:
@@ -380,3 +381,47 @@ def test_allocator_backend_selection():
     assert alloc.ensure(1, 20)
     assert alloc.page_table(1) is not None and len(alloc.page_table(1)) == 2
     assert alloc.release(1)
+
+
+class TestPagedChunkedPrefill:
+    """Paged long-prompt admission in chunks (rides the prefix-sharing
+    suffix path: every chunk is a page-aligned suffix prefill)."""
+
+    def test_paged_chunked_matches_unchunked(self, tmp_path):
+        prompt = list(range(3, 44))  # 41 tokens > chunk 16
+        vd_a = _paged_repo(tmp_path, "pchunk_off")
+        vd_b = _paged_repo(tmp_path, "pchunk_on", prefill_chunk=16)
+        outs = {}
+        for name, vd in (("off", vd_a), ("on", vd_b)):
+            eng = GenerationEngine(vd, ModelConfig.from_file(os.path.join(vd, "config.json")))
+            eng.start()
+            try:
+                outs[name] = eng.generate(prompt, max_new_tokens=6)["output_ids"]
+            finally:
+                eng.stop()
+        assert outs["off"] == outs["on"]
+
+    def test_paged_chunked_with_prefix_sharing(self, tmp_path):
+        """Second request shares the first's prefix pages; only the suffix
+        chunks prefill. Tokens identical to a fresh engine."""
+        prompt = list(range(3, 44))
+        vd = _paged_repo(tmp_path, "pchunk_share", prefill_chunk=16,
+                         prefix_sharing=True)
+        eng = GenerationEngine(vd, ModelConfig.from_file(os.path.join(vd, "config.json")))
+        eng.start()
+        try:
+            r1 = eng.generate(prompt, max_new_tokens=6)
+            hits0 = eng.ptm.prefix_hit_tokens
+            r2 = eng.generate(prompt, max_new_tokens=6)
+            assert eng.ptm.prefix_hit_tokens > hits0  # cache actually hit
+            assert r1["output_ids"] == r2["output_ids"]
+        finally:
+            eng.stop()
+
+    def test_paged_chunk_must_be_page_multiple(self, tmp_path):
+        from tpuserve.utils.errors import BackendError
+
+        vd = _paged_repo(tmp_path, "pchunk_bad", prefill_chunk=24)
+        eng = GenerationEngine(vd, ModelConfig.from_file(os.path.join(vd, "config.json")))
+        with pytest.raises(BackendError):
+            eng.start()

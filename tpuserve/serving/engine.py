@@ -261,6 +261,11 @@ class GenerationEngine:
             )
         )
         gen = self.config.generation
+        if gen.paged and self._chunk_size > 0 \
+                and self._chunk_size % int(gen.page_size) != 0:
+            raise BackendError(
+                f"generation.prefill_chunk ({self._chunk_size}) must be a "
+                f"multiple of page_size ({gen.page_size}) in paged mode")
         if self._chunk_size > 0 and self.max_seq_len % self._chunk_size != 0:
             # a trailing chunk may not straddle max_seq_len: the cache write
             # would clamp and overwrite earlier positions
@@ -708,25 +713,52 @@ class GenerationEngine:
         ids = req.prompt_ids
         c0 = ch["progress"]
         cs = self._chunk_size
-        n = min(cs, len(ids) - c0)
-        tokens = np.zeros((1, cs), np.int32)
-        tokens[0, :n] = ids[c0 : c0 + n]
-        window = self._bucket_len(min(c0 + cs, self.max_seq_len))
         try:
-            logits, self.cache = self._prefill_chunk_jit(
-                self.params,
-                jnp.asarray(tokens),
-                self.cache,
-                jnp.int32(slot),
-                jnp.int32(c0),
-                jnp.int32(n),
-                window=window,
-            )
+            if self.ptm is not None:
+                # paged chunked prefill rides the prefix-sharing suffix path
+                # (prefill_paged_suffix handles any page-aligned start; the
+                # engine validates prefill_chunk % page_size == 0)
+                if c0 == 0:
+                    shared, matched = self.ptm.admit_shared(slot, ids)
+                    if matched > 0:  # matched pages already hold valid KV
+                        ch["progress"] = c0 = matched
+                n = min(cs, len(ids) - c0)
+                self.ptm.ensure(slot, c0 + n)
+                ps = self.ptm.page_size
+                window = -(-min(c0 + cs, self.max_seq_len) // ps) * ps
+                stoks = np.zeros((1, cs), np.int32)
+                stoks[0, :n] = ids[c0 : c0 + n]
+                logits, self.cache = self._prefill_suffix_jit(
+                    self.params,
+                    jnp.asarray(stoks),
+                    self.cache,
+                    self.ptm.device_table(),
+                    jnp.int32(slot),
+                    jnp.int32(c0),
+                    jnp.int32(n),
+                    window=window,
+                )
+            else:
+                n = min(cs, len(ids) - c0)
+                tokens = np.zeros((1, cs), np.int32)
+                tokens[0, :n] = ids[c0 : c0 + n]
+                window = self._bucket_len(min(c0 + cs, self.max_seq_len))
+                logits, self.cache = self._prefill_chunk_jit(
+                    self.params,
+                    jnp.asarray(tokens),
+                    self.cache,
+                    jnp.int32(slot),
+                    jnp.int32(c0),
+                    jnp.int32(n),
+                    window=window,
+                )
         except Exception as e:
             req.error = str(e)
             req.token_queue.put(None)
             req.done.set()
             self._chunking = None
+            if self.ptm is not None:
+                self.ptm.release(slot)
             return
         ch["progress"] = c0 + n
         if ch["progress"] < len(ids):
@@ -892,7 +924,6 @@ class GenerationEngine:
                 if (
                     self._chunk_size > 0
                     and self._chunking is None
-                    and self.ptm is None
                     and len(req.prompt_ids) > self._chunk_size
                 ):
                     # long prompt: admit in chunks interleaved with decode
