@@ -235,3 +235,44 @@ class TestSpecCompositions:
             finally:
                 eng.stop()
         assert outs["m_ref"] == outs["m_spec"]
+
+
+def test_spec_with_tp_dp_sharding(tmp_path):
+    """Speculation under a (dp=2, tp=4) mesh: verify_step flows through the
+    GSPMD paths (qmatmul_sharded islands handle the [S, C, D] activations);
+    outputs match the unsharded speculative engine exactly."""
+    from tpuserve.repository.config import ModelConfig
+    from tpuserve.serving.engine import GenerationEngine
+
+    def write(name, sharding):
+        vdir = os.path.join(str(tmp_path), name, "1")
+        os.makedirs(vdir, exist_ok=True)
+        cfg = {
+            "name": name, "platform": "llm", "architecture": "llama",
+            "inputs": [{"name": "input_ids", "shape": [1, -1], "data_type": "INT32"}],
+            "outputs": [{"name": "output_ids", "shape": [1, -1], "data_type": "INT32"}],
+            "model_params": {"vocab_size": 128, "dim": 32, "n_layers": 2,
+                              "n_heads": 8, "n_kv_heads": 4, "head_dim": 8,
+                              "ffn_dim": 64, "init": "random"},
+            "generation": {"max_seq_len": 96, "max_slots": 4, "eos_token_id": 2,
+                            "max_new_tokens": 10, "speculation_tokens": 3},
+            "quantization": {"weights": "int8", "group_size": 16, "kv_cache": "int8"},
+        }
+        if sharding:
+            cfg["sharding"] = sharding
+        with open(os.path.join(vdir, "config.json"), "w") as f:
+            json.dump(cfg, f)
+        return vdir
+
+    prompt = [5, 9, 13] * 5
+    outs = {}
+    for name, sh in (("sp_solo2", None),
+                     ("sp_mesh", {"tensor_parallel": 4, "data_parallel": 2})):
+        vd = write(name, sh)
+        eng = GenerationEngine(vd, ModelConfig.from_file(os.path.join(vd, "config.json")))
+        eng.start()
+        try:
+            outs[name] = eng.generate(prompt, max_new_tokens=10)["output_ids"]
+        finally:
+            eng.stop()
+    assert outs["sp_solo2"] == outs["sp_mesh"]
