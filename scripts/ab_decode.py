@@ -11,6 +11,8 @@ under the same weather, and per-round ratios are drift-free.
 Usage:
   python scripts/ab_decode.py                 # default: xla, pallas128, pallas256
   TPUSERVE_AB_MODES=xla,pallas64 TPUSERVE_AB_ROUNDS=6 python scripts/ab_decode.py
+  # bf16 vs f32 KV-scale stream (kernel path):
+  TPUSERVE_AB_MODES=pallas128,pallas128sb python scripts/ab_decode.py
 """
 
 import os
@@ -74,8 +76,11 @@ def main():
         else:
             spec = name.replace("pallas", "")
             skip = "1"
+            scale_dt = jnp.float32
             if spec.endswith("ns"):  # "pallas128ns" = no dyn skip
                 spec, skip = spec[:-2], "0"
+            if spec.endswith("sb"):  # "pallas128sb" = bf16 KV scales
+                spec, scale_dt = spec[:-2], jnp.bfloat16
             env = {"TPUSERVE_DECODE_ATTN": "pallas",
                    "TPUSERVE_ATTN_BLOCK_L": spec or "64",
                    "TPUSERVE_ATTN_DYNSKIP": skip}
@@ -83,7 +88,9 @@ def main():
         saved = {k: os.environ.get(k) for k in env}
         os.environ.update(env)
         try:
-            cache = KVCache.create(p, n_slots, max_len, quantized=True, flat=flat)
+            cache = KVCache.create(
+                p, n_slots, max_len, quantized=True, flat=flat,
+                scale_dtype=scale_dt if name != "xla" else jnp.float32)
             tokens = jnp.zeros((n_slots,), jnp.int32)
             positions = jnp.asarray(pos0)
             fn = jax.jit(multistep, donate_argnums=(2,))
