@@ -185,6 +185,22 @@ class Client:
         streamed = [c["token"] for c in chunks if "token" in c]
         self.check(chunks and chunks[-1].get("done"), "stream ends with done record")
         self.check(streamed == body["generated_ids"], "stream matches unary tokens")
+        # round-2 sampling features: logprobs, stop ids, repetition penalty
+        r = requests.post(f"{self.base}/models/{model}/generate",
+                          json={**payload, "logprobs": True}, timeout=300)
+        lp = r.json().get("logprobs", [])
+        self.check(r.status_code == 200 and len(lp) == r.json()["num_generated"]
+                   and all(x <= 0.0 for x in lp), "logprobs returned, <= 0")
+        first = body["generated_ids"][0]
+        r = requests.post(f"{self.base}/models/{model}/generate",
+                          json={**payload, "stop_token_ids": [first]}, timeout=300)
+        self.check(r.status_code == 200
+                   and r.json()["finish_reason"] == "stop"
+                   and r.json()["num_generated"] == 1, "stop_token_ids retire")
+        r = requests.post(f"{self.base}/models/{model}/generate",
+                          json={**payload, "repetition_penalty": 1.2}, timeout=300)
+        self.check(r.status_code == 200 and r.json()["num_generated"] >= 1,
+                   "repetition_penalty accepted")
 
     def test_unload(self, model: str):
         print(f"== unload: {model} ==")
