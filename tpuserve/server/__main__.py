@@ -25,7 +25,19 @@ def main():
         default=int(os.environ.get("TPUSERVE_GRPC_PORT", "0")),
         help="also serve gRPC on this port (0 = disabled)",
     )
+    p.add_argument(
+        "--platform",
+        default=os.environ.get("TPUSERVE_PLATFORM", ""),
+        help="force a JAX platform (e.g. 'cpu' for local dev without a TPU;"
+             " on this environment the sitecustomize pins the TPU plugin, so"
+             " the flag applies the post-import config override)",
+    )
     args = p.parse_args()
+
+    if args.platform:
+        import jax
+
+        jax.config.update("jax_platforms", args.platform)
 
     if args.grpc_port:
         # one manager shared by both frontends
