@@ -126,9 +126,9 @@ def main():
             ptm.ensure(s, max_len)
         page_table = ptm.device_table()
     else:
-        scale_dt = jnp.bfloat16 if os.environ.get(
-            "TPUSERVE_BENCH_KV_SCALE_DTYPE", "f32").lower() in ("bf16", "bfloat16") \
-            else jnp.float32
+        scale_dt = jnp.float32 if os.environ.get(
+            "TPUSERVE_BENCH_KV_SCALE_DTYPE", "bf16").lower() in ("f32", "float32") \
+            else jnp.bfloat16  # bf16 default: accuracy-free (ACCURACY.json)
         cache = KVCache.create(p, n_slots, max_len, quantized=True,
                                flat=llama.preferred_cache_flat(p, max_len),
                                scale_dtype=scale_dt)

@@ -127,6 +127,77 @@ def evaluate_synthetic(size: str, bits: int, group_size: int, act_bits: int,
     }
 
 
+def evaluate_kv_cache(size: str, scale_dtype: str, samples: int,
+                      seed: int) -> dict:
+    """KV-cache-path fidelity: the zoo forward above never touches the
+    serving cache, so this mode runs the REAL prefill+decode path and
+    compares next-token distributions of (a) fp32 cache vs (b) int8 KV with
+    f32 or bf16 per-(pos, head) scales — the quantization.kv_cache /
+    kv_scale_dtype gates."""
+    import jax
+    import jax.numpy as jnp
+
+    from tpuserve.models import llama
+    from tpuserve.models.llama import KVCache, LlamaParams
+
+    sizes = {
+        "llama_200m": LlamaParams(vocab_size=8192, dim=768, n_layers=8,
+                                  n_heads=12, n_kv_heads=12, head_dim=64,
+                                  ffn_dim=2048),
+        "tiny": LlamaParams.tiny(),
+    }
+    p = sizes[size]
+    params = llama.init_params(jax.random.PRNGKey(seed), p, dtype=jnp.float32)
+    rng = np.random.default_rng(seed)
+    n_seq = max(2, samples // 16)
+    ctx, dec = 48, 16
+    prompts = rng.integers(0, p.vocab_size, (n_seq, ctx)).astype(np.int32)
+
+    def run(quantized: bool, sdt):
+        lps = []
+        for b in range(n_seq):
+            cache = KVCache.create(p, 1, ctx + dec + 1, quantized=quantized,
+                                   dtype=jnp.float32, scale_dtype=sdt)
+            logits, cache = llama.prefill(
+                params, p, jnp.asarray(prompts[b : b + 1]), cache,
+                jnp.int32(0), jnp.int32(ctx))
+            row = []
+            tok = int(jnp.argmax(logits[0]))
+            for t in range(dec):
+                lg, cache = llama.decode_step(
+                    params, p, jnp.asarray([tok], jnp.int32), cache,
+                    jnp.asarray([ctx + t], jnp.int32))
+                lf = np.asarray(lg[0], np.float64)
+                m = lf.max()
+                row.append(lf - m - np.log(np.exp(lf - m).sum()))
+                tok = int(lf.argmax())
+            lps.append(np.stack(row))
+        return np.stack(lps)  # [n_seq, dec, V]
+
+    lp_fp = run(False, jnp.float32)
+    lp_f32 = run(True, jnp.float32)
+    lp_bf16 = run(True, jnp.bfloat16)
+
+    def kl(a, b):
+        return float((np.exp(a) * (a - b)).sum(-1).mean())
+
+    out = {
+        "mode": "synthetic_random_init_kv_path",
+        "size": size,
+        "samples": n_seq * dec,
+        "platform": jax.devices()[0].platform,
+        "kl_fp_cache_to_int8_f32_scales": round(kl(lp_fp, lp_f32), 8),
+        "kl_fp_cache_to_int8_bf16_scales": round(kl(lp_fp, lp_bf16), 8),
+        "kl_f32_scales_to_bf16_scales": round(kl(lp_f32, lp_bf16), 8),
+        "gate": "KL(fp||int8) <= 0.02 nat; bf16 scales add < 0.005 nat over f32",
+    }
+    out["gate_pass"] = bool(
+        out["kl_fp_cache_to_int8_f32_scales"] <= 0.02
+        and out["kl_fp_cache_to_int8_bf16_scales"]
+        - out["kl_fp_cache_to_int8_f32_scales"] < 0.005)
+    return out
+
+
 def evaluate(repository: str, model: str, version: str, samples: int, seed: int) -> dict:
     import jax
     import jax.numpy as jnp
@@ -217,6 +288,10 @@ def main():
     ap.add_argument("--samples", type=int, default=64)
     ap.add_argument("--seed", type=int, default=0)
     ap.add_argument("--json", action="store_true", help="print one JSON line only")
+    ap.add_argument("--kv-cache-eval", default="",
+                    help="KV-cache-path fidelity eval: size name "
+                         "(llama_200m|tiny); runs fp32 vs int8-f32 vs "
+                         "int8-bf16 scale caches on the serving path")
     ap.add_argument("--synthetic", default="",
                     help="random-init llama size (llama_1b|tiny) instead of a "
                          "repository checkpoint; scale-free gates, see docstring")
@@ -225,7 +300,10 @@ def main():
     ap.add_argument("--act-bits", type=int, default=0)
     args = ap.parse_args()
 
-    if args.synthetic:
+    if args.kv_cache_eval:
+        result = evaluate_kv_cache(args.kv_cache_eval, "both", args.samples,
+                                   args.seed)
+    elif args.synthetic:
         result = evaluate_synthetic(args.synthetic, args.bits, args.group_size,
                                     args.act_bits, args.samples, args.seed)
     elif not args.model:

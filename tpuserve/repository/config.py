@@ -86,11 +86,12 @@ class QuantizationConfig:
     kv_cache: str = "none"  # none | int8
     activations: str = "none"  # none | int8 (dynamic per-token) | fp8
     # dtype of the INT8 KV cache's per-(pos, head) dequant scales:
-    # "bfloat16" halves the scale-stream bytes the decode kernel reads
-    # (~1.5-2% of step bytes at 7B) at the cost of <=2^-9 relative rounding
-    # on the dequantized K/V — on top of int8's ~0.4% this is noise, but
-    # f32 stays the default until the on-chip accuracy gate blesses it.
-    kv_scale_dtype: str = "float32"  # float32 | bfloat16
+    # "bfloat16" (default) halves the scale-stream bytes the decode kernel
+    # reads (~1.5-2% of step bytes at 7B) for <=2^-9 relative rounding on
+    # the dequantized K/V — measured at +3.5e-7 nat KL over f32 scales on
+    # the real serving path (ACCURACY.json kv_cache_int8_scales), i.e.
+    # accuracy-free next to int8's own quantization error.
+    kv_scale_dtype: str = "bfloat16"  # bfloat16 | float32
 
     @classmethod
     def from_dict(cls, d: Optional[Dict[str, Any]]) -> "QuantizationConfig":
@@ -100,7 +101,7 @@ class QuantizationConfig:
             group_size=int(d.get("group_size", 128)),
             kv_cache=str(d.get("kv_cache", "none")).lower(),
             activations=str(d.get("activations", "none")).lower(),
-            kv_scale_dtype=str(d.get("kv_scale_dtype", "float32")).lower(),
+            kv_scale_dtype=str(d.get("kv_scale_dtype", "bfloat16")).lower(),
         )
         if cfg.weights not in ("none", "int8", "int4"):
             raise InvalidArgumentError(f"unsupported weight quantization '{cfg.weights}'")
