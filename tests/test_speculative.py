@@ -276,3 +276,59 @@ def test_spec_with_tp_dp_sharding(tmp_path):
         finally:
             eng.stop()
     assert outs["sp_solo2"] == outs["sp_mesh"]
+
+
+class TestPagedSpeculation:
+    def test_paged_verify_matches_sequential(self):
+        """verify_step_paged over a drafted chain == sequential paged
+        decode steps."""
+        from tpuserve.serving.paged_kv import PagedKVCache, PageTableManager
+
+        params = llama.init_params(jax.random.PRNGKey(4), P, dtype=jnp.float32)
+        ps, n_pages = 8, 9
+        ptm = PageTableManager(n_pages, ps, n_slots=2, max_len=32)
+        ptm.ensure(0, 12)
+        prompt = jnp.asarray([[7, 11, 23, 5]], jnp.int32)
+        ca = PagedKVCache.create(P, n_pages, ps, quantized=True)
+        cb = PagedKVCache.create(P, n_pages, ps, quantized=True)
+        _, ca = llama.prefill_paged(params, P, prompt, ca, ptm.device_table(),
+                                    jnp.int32(0), jnp.int32(4))
+        _, cb = llama.prefill_paged(params, P, prompt, cb, ptm.device_table(),
+                                    jnp.int32(0), jnp.int32(4))
+        chain = [9, 14, 3]
+        seq_logits = []
+        pos = 4
+        for t in chain:
+            lg, ca = llama.decode_step_paged(
+                params, P, jnp.asarray([t, 0], jnp.int32), ca,
+                ptm.device_table(), jnp.asarray([pos, -1], jnp.int32))
+            seq_logits.append(np.asarray(lg[0]))
+            pos += 1
+        vlogits, cb = llama.verify_step_paged(
+            params, P, jnp.asarray([[9, 14, 3], [0, 0, 0]], jnp.int32), cb,
+            ptm.device_table(), jnp.asarray([4, -1], jnp.int32),
+            jnp.asarray([3, 0], jnp.int32))
+        for j in range(3):
+            np.testing.assert_allclose(np.asarray(vlogits[0, j]),
+                                       seq_logits[j], rtol=5e-2, atol=5e-2)
+        assert np.all(np.asarray(vlogits[1]) == 0.0)
+
+    def test_paged_spec_engine_exact(self, tmp_path):
+        """Paged + speculation == paged plain greedy, token for token; all
+        pages return after retirement (no leak on in-spec retirement)."""
+        from tpuserve.repository.config import ModelConfig
+        from tpuserve.serving.engine import GenerationEngine
+
+        prompt = [5, 9, 13] * 5
+        outs = {}
+        for name, extra in (("pg_ref", {}), ("pg_spec", {"speculation_tokens": 3})):
+            vdir = _write_repo(tmp_path, name, paged=True, page_size=16, **extra)
+            eng = GenerationEngine(vdir, ModelConfig.from_file(
+                os.path.join(vdir, "config.json")))
+            eng.start()
+            try:
+                outs[name] = eng.generate(prompt, max_new_tokens=12)["output_ids"]
+                assert eng.ptm.free_pages == eng.ptm._alloc.total_pages
+            finally:
+                eng.stop()
+        assert outs["pg_ref"] == outs["pg_spec"]

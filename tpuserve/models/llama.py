@@ -1276,6 +1276,112 @@ def decode_step_paged(params, p: LlamaParams, tokens: jax.Array, cache,
     return logits, new_cache
 
 
+def verify_step_paged(params, p: LlamaParams, tokens: jax.Array, cache,
+                      page_table: jax.Array, positions: jax.Array,
+                      lengths: jax.Array, window: Optional[int] = None):
+    """Speculative verification over a PagedKVCache — the paged analogue of
+    verify_step: C candidate tokens per slot write into their slots' pages
+    and attend through the gathered window in ONE step. The engine ensures
+    each slot's chain covers positions[s] + lengths[s] tokens before the
+    dispatch; rejected drafts leave stale entries inside already-allocated
+    pages (masked by position, overwritten by later writes). tokens [S, C],
+    lengths [S] >= 1; returns (logits [S, C, V] f32, cache)."""
+    from tpuserve.serving.paged_kv import PagedKVCache
+
+    s, c = tokens.shape
+    ps = cache.page_size
+    active = positions >= 0
+    pos0 = jnp.maximum(positions, 0)
+    if window is not None:
+        n_cols = max(1, min(int(window) // ps, page_table.shape[1]))
+        page_table = page_table[:, :n_cols]
+    l_virt = page_table.shape[1] * ps
+    pos_c = jnp.minimum(pos0[:, None] + jnp.arange(c, dtype=jnp.int32)[None, :],
+                        l_virt - 1)  # [S, C]
+    valid = active[:, None] & (
+        jnp.arange(c, dtype=jnp.int32)[None, :] < lengths[:, None])
+    x = params["embed/weight"][tokens]  # [S, C, D]
+    cos, sin = rope_cos_sin(pos_c, p.head_dim, p.rope_theta)
+    cos_q, sin_q = cos[:, :, None, :], sin[:, :, None, :]
+    kpos = jnp.arange(l_virt, dtype=jnp.int32)
+    read_mask = kpos[None, None, :] <= pos_c[:, :, None]  # [S, C, win]
+
+    # physical write coordinates per (slot, candidate); invalid entries
+    # target the zero page and re-write its old (zero) contents
+    slot_idx = jnp.arange(s, dtype=jnp.int32)
+    wpage = page_table[slot_idx[:, None], pos_c // ps] * valid.astype(jnp.int32)
+    woff = (pos_c % ps) * valid.astype(jnp.int32)
+
+    new_cache = cache
+    for layer in range(p.n_layers):
+        pre = f"layers.{layer}"
+
+        def attn_fn(q, k, v, layer=layer):
+            nonlocal new_cache
+            q = q.reshape(s, c, p.n_heads, p.head_dim)
+            k = k.reshape(s, c, p.n_kv_heads, p.head_dim)
+            v = v.reshape(s, c, p.n_kv_heads, p.head_dim)
+            q = apply_rope(q, cos_q, sin_q)
+            k = apply_rope(k, cos_q, sin_q)
+
+            def masked(new, old_arr):
+                old = old_arr[layer, wpage, woff]
+                m = valid.reshape((s, c) + (1,) * (new.ndim - 2))
+                return jnp.where(m, new, old)
+
+            if new_cache.quantized:
+                kq, ks = _quantize_kv(k)  # [S, C, Hkv, hd], [S, C, Hkv]
+                vq, vs = _quantize_kv(v)
+            else:
+                kq = k.astype(new_cache.k.dtype)
+                vq = v.astype(new_cache.v.dtype)
+                ks = vs = None
+            if new_cache.flat:
+                kq, vq = kq.reshape(s, c, -1), vq.reshape(s, c, -1)
+            new_cache = PagedKVCache(
+                k=new_cache.k.at[layer, wpage, woff].set(masked(kq.astype(new_cache.k.dtype), new_cache.k)),
+                v=new_cache.v.at[layer, wpage, woff].set(masked(vq.astype(new_cache.v.dtype), new_cache.v)),
+                k_scale=None if ks is None else new_cache.k_scale.at[layer, wpage, woff].set(masked(ks, new_cache.k_scale)),
+                v_scale=None if vs is None else new_cache.v_scale.at[layer, wpage, woff].set(masked(vs, new_cache.v_scale)),
+                flat=new_cache.flat,
+            )
+
+            # gathered logical window view (documented paged tradeoff)
+            k_all = new_cache.k[layer][page_table].reshape(
+                s, l_virt, p.n_kv_heads, p.head_dim)
+            v_all = new_cache.v[layer][page_table].reshape(
+                s, l_virt, p.n_kv_heads, p.head_dim)
+            if new_cache.quantized:
+                k_scale = new_cache.k_scale[layer][page_table].reshape(
+                    s, l_virt, p.n_kv_heads).transpose(0, 2, 1)
+                v_scale = new_cache.v_scale[layer][page_table].reshape(
+                    s, l_virt, p.n_kv_heads).transpose(0, 2, 1)
+            else:
+                k_scale = v_scale = None
+            n_rep = p.n_heads // p.n_kv_heads
+            qg = q.reshape(s, c, p.n_kv_heads, n_rep, p.head_dim)
+            cdt = jnp.float32 if k_all.dtype == jnp.float32 else jnp.bfloat16
+            scores = jnp.einsum(
+                "schrd,slhd->schrl", qg.astype(cdt), k_all.astype(cdt),
+                preferred_element_type=jnp.float32)
+            if k_scale is not None:
+                scores = scores * k_scale[:, None, :, None, :]
+            scores = scores / math.sqrt(p.head_dim)
+            scores = jnp.where(read_mask[:, :, None, None, :], scores, -1e30)
+            probs = jax.nn.softmax(scores, axis=-1)
+            if v_scale is not None:
+                probs = probs * v_scale[:, None, :, None, :]
+            out = jnp.einsum(
+                "schrl,slhd->schrd", probs.astype(cdt), v_all.astype(cdt),
+                preferred_element_type=jnp.float32)
+            return out.astype(x.dtype).reshape(s, c, p.n_heads * p.head_dim)
+
+        x = _forward_block(params, pre, x, p, attn_fn)
+
+    logits = _logits(params, x.reshape(s * c, -1), p).reshape(s, c, -1)
+    return jnp.where(valid[:, :, None], logits, 0.0), new_cache
+
+
 # ---------------------------------------------------------------------- zoo glue
 @register_architecture("llama")
 @register_architecture("mixtral")  # MoE Llama: set model_params.n_experts

@@ -161,7 +161,7 @@ class GenerationConfig:
     # that matches the model's own argmax — greedy outputs are EXACT, and
     # accepted tokens amortize the weight stream that dominates decode.
     # 0 = off. Active only for greedy (temperature 0, repetition_penalty 1)
-    # slots in contiguous (non-paged, non-pipeline) mode.
+    # slots; works in contiguous AND paged modes (not pipeline-parallel).
     speculation_tokens: int = 0
     speculation_ngram: int = 3
     eos_token_id: int = 2

@@ -373,6 +373,20 @@ class GenerationEngine:
                     length=horizon,
                 )
                 return out, lps, cache, presence
+
+            def verify_fn(params, tokens, cache, table, positions, lengths,
+                          window):
+                logits, cache = llama.verify_step_paged(
+                    params, p, tokens, cache, table, positions, lengths,
+                    window=window)
+                lf = logits.astype(jnp.float32)
+                toks = jnp.argmax(lf, axis=-1).astype(jnp.int32)
+                lse = jax.nn.logsumexp(lf, axis=-1)
+                lp = jnp.take_along_axis(lf, toks[..., None], axis=-1)[..., 0] - lse
+                return toks, lp, cache
+
+            self._verify_jit = jax.jit(
+                verify_fn, donate_argnums=(2,), static_argnames=("window",))
         elif self._pp > 1:
             from tpuserve.parallel import pipeline as pp_mod
 
@@ -851,6 +865,19 @@ class GenerationEngine:
             row = [st.last_token] + props[i]
             toks[i, : len(row)] = row
             lens[i] = len(row)
+        if self.ptm is not None:
+            # page chains must cover every candidate position; a pool-dry
+            # slot drops its drafts (falls back to one real token)
+            for i in active:
+                st = self._slots[i]
+                try:
+                    self.ptm.ensure(i, st.next_pos + int(lens[i]))
+                except Exception:
+                    toks[i, 1:] = 0
+                    lens[i] = 1
+                    props[i] = []
+            if not any(props.values()):
+                return False
         window = self.max_seq_len
         n_buckets = int(self.config.generation.decode_buckets)
         if n_buckets > 0:
@@ -860,9 +887,18 @@ class GenerationEngine:
                 w *= 2
             window = min(w, self.max_seq_len)
         try:
-            toks_d, lps_d, self.cache = self._verify_jit(
-                self.params, jnp.asarray(toks), self.cache,
-                jnp.asarray(positions), jnp.asarray(lens), window=window)
+            if self.ptm is not None:
+                ps_ = self.ptm.page_size
+                last_pos = max(positions[i] for i in active) + c - 1
+                window = min(-(-(last_pos + 1) // ps_) * ps_, self.max_seq_len)
+                toks_d, lps_d, self.cache = self._verify_jit(
+                    self.params, jnp.asarray(toks), self.cache,
+                    self.ptm.device_table(), jnp.asarray(positions),
+                    jnp.asarray(lens), window=window)
+            else:
+                toks_d, lps_d, self.cache = self._verify_jit(
+                    self.params, jnp.asarray(toks), self.cache,
+                    jnp.asarray(positions), jnp.asarray(lens), window=window)
             g = np.asarray(toks_d)   # [S, C] greedy continuations
             lps = np.asarray(lps_d)  # [S, C]
         except Exception as e:
@@ -894,6 +930,8 @@ class GenerationEngine:
                     # their cache entries are masked by position (the same
                     # invariant the fused horizon relies on)
                     self._slots[i] = None
+                    if self.ptm is not None:
+                        self.ptm.release(i)
                     break
         return True
 
