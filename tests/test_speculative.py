@@ -332,3 +332,82 @@ class TestPagedSpeculation:
             finally:
                 eng.stop()
         assert outs["pg_ref"] == outs["pg_spec"]
+
+
+class TestMultiCandidateKernel:
+    """decode_attention_wide_cache_multi (the speculative-verification
+    kernel): C candidates stream the cache once, per-row causal horizons."""
+
+    @pytest.mark.parametrize("quantized", [True, False])
+    @pytest.mark.parametrize("flat", [True, False])
+    def test_matches_per_candidate_single_kernel(self, quantized, flat):
+        """Row c of the multi kernel == the single-candidate wide kernel run
+        at position pos+c (same cache)."""
+        from tpuserve.ops.decode_attention import (
+            decode_attention_wide_cache, decode_attention_wide_cache_multi)
+
+        rng = np.random.default_rng(9)
+        n_layers, s, l, n_kv, rep, hd, cands = 2, 3, 64, 4, 2, 32, 3
+        h = n_kv * rep
+        q = jnp.asarray((rng.normal(size=(s, cands, h, hd)) / np.sqrt(hd)
+                         ).astype(np.float32))
+        if quantized:
+            k = rng.integers(-127, 127, size=(n_layers, s, l, n_kv, hd)).astype(np.int8)
+            v = rng.integers(-127, 127, size=(n_layers, s, l, n_kv, hd)).astype(np.int8)
+            ks = jnp.asarray(rng.uniform(0.001, 0.02, size=(n_layers, s, n_kv, l)).astype(np.float32))
+            vs = jnp.asarray(rng.uniform(0.001, 0.02, size=(n_layers, s, n_kv, l)).astype(np.float32))
+            ks_l, vs_l = ks[1], vs[1]
+        else:
+            k = rng.normal(size=(n_layers, s, l, n_kv, hd)).astype(np.float32)
+            v = rng.normal(size=(n_layers, s, l, n_kv, hd)).astype(np.float32)
+            ks_l = vs_l = None
+        kj, vj = jnp.asarray(k), jnp.asarray(v)
+        if flat:
+            kj = kj.reshape(n_layers, s, l, n_kv * hd)
+            vj = vj.reshape(n_layers, s, l, n_kv * hd)
+        positions = jnp.asarray(np.array([5, -1, l - cands], np.int32))
+        out = np.asarray(decode_attention_wide_cache_multi(
+            q, kj, vj, ks_l, vs_l, positions, 1, block_l=32, interpret=True))
+        tol = dict(rtol=5e-2, atol=1e-2) if quantized else dict(rtol=1e-5, atol=1e-6)
+        for ci in range(cands):
+            ref = np.asarray(decode_attention_wide_cache(
+                q[:, ci], kj, vj, ks_l, vs_l, positions + ci, 1,
+                block_l=32, interpret=True))
+            # active slots only: the single kernel zeroes pos<0 while the
+            # multi kernel leaves non-first candidates of inactive slots
+            # as documented garbage for the caller's valid mask
+            np.testing.assert_allclose(out[0, ci], ref[0], **tol)
+            np.testing.assert_allclose(out[2, ci], ref[2], **tol)
+        assert np.all(out[1, 0] == 0.0)  # inactive slot, candidate 0
+
+    def test_verify_step_kernel_route_matches_xla(self, monkeypatch):
+        """llama.verify_step with the forced pallas mode (interpret) == the
+        XLA route, end to end through the layer stack."""
+        import tpuserve.models.llama as llama_mod
+        import tpuserve.ops.decode_attention as da_mod
+
+        params = llama.init_params(jax.random.PRNGKey(2), P, dtype=jnp.float32)
+        prompt = jnp.asarray([[7, 11, 23, 5]], jnp.int32)
+        toks = jnp.asarray([[9, 14, 3], [0, 0, 0]], jnp.int32)
+
+        def run(mode):
+            cache = KVCache.create(P, 2, 32, quantized=True,
+                                   flat=(mode == "pallas"))
+            _, cache = llama.prefill(params, P, prompt, cache,
+                                     jnp.int32(0), jnp.int32(4))
+            if mode == "pallas":
+                monkeypatch.setattr(llama_mod, "_decode_attn_mode",
+                                    lambda _p: "pallas")
+                orig = da_mod.decode_attention_wide_cache_multi
+                monkeypatch.setattr(
+                    da_mod, "decode_attention_wide_cache_multi",
+                    lambda *a, **kw: orig(*a, **{**kw, "interpret": True}))
+            lg, _ = llama.verify_step(
+                params, P, toks, cache, jnp.asarray([4, -1], jnp.int32),
+                jnp.asarray([3, 0], jnp.int32))
+            monkeypatch.undo()
+            return np.asarray(lg)
+
+        ref = run("xla")
+        out = run("pallas")
+        np.testing.assert_allclose(out[0], ref[0], rtol=5e-2, atol=5e-2)

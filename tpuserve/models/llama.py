@@ -724,6 +724,36 @@ def verify_step(params, p: LlamaParams, tokens: jax.Array, cache: KVCache,
                 flat=new_cache.flat,
             )
 
+            # kernel path: the flat cache is read IN PLACE by the
+            # multi-candidate wide kernel — KV bytes stream once for all C
+            # candidates with zero relayout (the XLA path below pays a
+            # per-layer window copy for flat caches on TPU); single-chip
+            # only (meshes take the GSPMD path)
+            attn_mode = _decode_attn_mode(p)
+            if attn_mode == "pallas":
+                if jax.devices()[0].platform == "tpu" and not new_cache.flat:
+                    attn_mode = "xla"
+                from tpuserve.parallel.sharding import active_mesh
+
+                mesh_now = active_mesh()
+                if mesh_now is not None and mesh_now.devices.size > 1:
+                    attn_mode = "xla"
+            if attn_mode == "pallas":
+                from tpuserve.ops.decode_attention import (
+                    decode_attention_wide_cache_multi)
+
+                out = decode_attention_wide_cache_multi(
+                    q / math.sqrt(p.head_dim),
+                    new_cache.k,
+                    new_cache.v,
+                    new_cache.k_scale[layer] if new_cache.quantized else None,
+                    new_cache.v_scale[layer] if new_cache.quantized else None,
+                    positions,
+                    layer,
+                    window=win,
+                )
+                return out.astype(x.dtype).reshape(s, c, p.n_heads * p.head_dim)
+
             k_all = new_cache.k[layer, :, :win]  # [S, win, ...]
             v_all = new_cache.v[layer, :, :win]
             if new_cache.flat:

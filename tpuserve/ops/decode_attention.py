@@ -666,6 +666,228 @@ def decode_attention_wide_cache(
     return out
 
 
+def _wide_multi_kernel(pos_ref, qw_ref, qs_ref, k_ref, v_ref, ks_ref, vs_ref,
+                       o_ref, m_ref, l_ref, acc_ref, qw_scr_ref, *, block_l,
+                       n_kv, rep, hd, cands, kv_int8, quantized,
+                       sc_block=None):
+    """Multi-candidate variant of _wide_kernel for speculative verification:
+    C candidate tokens per slot score against the SAME cache stream in one
+    L walk. Q rows are candidate-major ([c*M + m]); row r's causal horizon
+    is pos + r//M (candidate c attends to everything up to and including
+    its own just-written position). KV bytes are read ONCE for all C
+    candidates — the whole point: the XLA verify path on the flat cache
+    pays a per-layer window relayout instead."""
+    i = pl.program_id(0)
+    j = pl.program_id(1)
+    pos = pos_ref[1 + i]
+    m_base = qw_ref.shape[-2] // cands  # M = heads per candidate
+    cm = m_base * cands
+    if sc_block is None:
+        sc_block = block_l
+
+    @pl.when(j == 0)
+    def _():
+        m_ref[:] = jnp.full_like(m_ref, _NEG_INF)
+        l_ref[:] = jnp.zeros_like(l_ref)
+        acc_ref[:] = jnp.zeros_like(acc_ref)
+        qv = qw_ref[0]                        # [CM, hd] compact
+        row_h = (jax.lax.broadcasted_iota(jnp.int32, (cm, hd), 0)
+                 % m_base) // rep
+        zero = jnp.zeros((cm, hd), qv.dtype)
+        for h in range(n_kv):
+            qw_scr_ref[:, h * hd:(h + 1) * hd] = jnp.where(row_h == h, qv, zero)
+
+    # skip blocks wholly past the LAST candidate's position
+    @pl.when(j * block_l <= pos + (cands - 1))
+    def _compute():
+        qw = qw_scr_ref[...]                  # [CM, W]
+        kb = k_ref[...]                       # [bl, W]
+
+        def tile_c(tile):
+            # expand a per-head [M, x] scale tile to candidate-major [CM, x]
+            return jnp.concatenate([tile] * cands, axis=0) if cands > 1 else tile
+
+        if kv_int8:
+            s = jax.lax.dot_general(
+                qw, kb, (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.int32,
+            ).astype(jnp.float32)
+            s = s * qs_ref[0] * tile_c(_subtile(ks_ref[...], j, block_l, sc_block))
+        else:
+            s = jax.lax.dot_general(
+                qw.astype(jnp.float32), kb.astype(jnp.float32),
+                (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32,
+            )
+            if quantized:
+                s = s * tile_c(_subtile(ks_ref[...], j, block_l, sc_block))
+
+        # per-row causal horizon: row r (candidate r // M) sees lanes
+        # <= pos + r//M
+        lpos = jax.lax.broadcasted_iota(jnp.int32, (cm, block_l), 1) + j * block_l
+        row_pos = pos + jax.lax.broadcasted_iota(jnp.int32, (cm, block_l), 0) // m_base
+        s = s + jnp.where(lpos <= row_pos, 0.0, _NEG_INF)
+
+        m_prev = m_ref[:, 0:1]
+        m_new = jnp.maximum(m_prev, jnp.max(s, axis=1, keepdims=True))
+        m_safe = jnp.maximum(m_new, _NEG_INF / 2)
+        p = jnp.exp(s - m_safe)
+        corr = jnp.exp(m_prev - m_safe)
+        l_ref[:, 0:1] = l_ref[:, 0:1] * corr + jnp.sum(p, axis=1, keepdims=True)
+        m_ref[:, 0:1] = m_new
+
+        if quantized:
+            p = p * tile_c(_subtile(vs_ref[...], j, block_l, sc_block))
+        vb = v_ref[...]
+        if kv_int8:
+            pmax = jnp.max(jnp.abs(p), axis=1, keepdims=True)
+            pscale = jnp.maximum(pmax / 127.0, 1e-20)
+            pq = jnp.clip(jnp.round(p / pscale), -127, 127).astype(jnp.int8)
+            part = jax.lax.dot_general(
+                pq, vb, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.int32,
+            ).astype(jnp.float32) * pscale
+        else:
+            if vb.dtype != jnp.float32:
+                vb = vb.astype(jnp.bfloat16)
+                p = p.astype(jnp.bfloat16)
+            part = jax.lax.dot_general(
+                p, vb, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+        acc_ref[:] = acc_ref[:] * corr + part
+
+    @pl.when(j == pl.num_programs(1) - 1)
+    def _():
+        row_h = (jax.lax.broadcasted_iota(jnp.int32, (cm, hd), 0)
+                 % m_base) // rep
+        out = jnp.zeros((cm, hd), jnp.float32)
+        for h in range(n_kv):
+            sel = (row_h == h).astype(jnp.float32)
+            out = out + acc_ref[:, h * hd:(h + 1) * hd] * sel
+        l_all = l_ref[:, 0:1]
+        o_ref[0] = jnp.where(l_all > 0, out / jnp.maximum(l_all, 1e-20), 0.0)
+
+
+def decode_attention_wide_cache_multi(
+    q: jax.Array,
+    k_full: jax.Array,
+    v_full: jax.Array,
+    k_scale_l,
+    v_scale_l,
+    positions: jax.Array,
+    layer,
+    *,
+    window: Optional[int] = None,
+    block_l: Optional[int] = None,
+    interpret: Optional[bool] = None,
+) -> jax.Array:
+    """Speculative-verification attention over the full flat cache IN PLACE:
+    q [S, C, H, hd] (C candidates per slot, pre-scaled by 1/sqrt(hd), RoPE'd
+    at their own positions; their K/V already written at positions
+    pos..pos+C-1), positions [S] = candidate 0's position (-1 = inactive).
+    Everything else as decode_attention_wide_cache. Returns [S, C, H, hd]
+    f32 (rows past a slot's draft length are garbage for the caller to
+    mask). Callers guarantee max(positions) + C <= window."""
+    if interpret is None:
+        interpret = jax.devices()[0].platform != "tpu"
+    s_dim, cands, n_heads, hd = q.shape
+    if k_full.ndim == 4:
+        n_layers, _, l_max, w = k_full.shape
+        n_kv = w // hd
+    else:
+        n_layers, _, l_max, n_kv, _ = k_full.shape
+        w = n_kv * hd
+    rep = n_heads // n_kv
+    m_base = n_heads
+    cm = cands * m_base
+    quantized = k_scale_l is not None
+    kv_int8 = bool(quantized) and k_full.dtype == jnp.int8
+
+    win = l_max if window is None else min(int(window), l_max)
+    if block_l is None:
+        block_l = int(os.environ.get("TPUSERVE_ATTN_BLOCK_L", "128"))
+    block_l = min(block_l, win)
+    while win % block_l != 0:
+        block_l //= 2
+    assert l_max % block_l == 0, (l_max, block_l)
+    n_blocks = win // block_l
+    lpbf = l_max // block_l
+    sc_block = _scale_block(block_l, win, quantized)
+    scr = sc_block // block_l
+
+    if quantized:
+        k_scale_l = k_scale_l[:, :, :win]
+        v_scale_l = v_scale_l[:, :, :win]
+    qc, qs = _prep_q_compact(q.reshape(s_dim, cm, hd), k_full.dtype, kv_int8)
+    ksr, vsr = _prep_scales(k_scale_l, v_scale_l, s_dim=s_dim, m_dim=m_base,
+                            rep=rep, quantized=quantized, l_win=win)
+
+    kf = k_full.reshape(n_layers * s_dim * l_max, w)
+    vf = v_full.reshape(n_layers * s_dim * l_max, w)
+    scalars = jnp.concatenate([
+        jnp.asarray([layer], jnp.int32).reshape(1),
+        positions.astype(jnp.int32),
+    ])
+
+    dyn_skip = os.environ.get("TPUSERVE_ATTN_DYNSKIP", "1") == "1"
+
+    def kv_index(i, j, sref):
+        base = sref[0] * (s_dim * lpbf) + i * lpbf
+        if dyn_skip:
+            live = (jnp.maximum(sref[1 + i], 0) + cands - 1) // block_l
+            return (base + jnp.minimum(j, live), 0)
+        return (base + j, 0)
+
+    def sc_index(i, j, sref):
+        if not quantized:
+            return (i, 0)
+        if dyn_skip:
+            live = (jnp.maximum(sref[1 + i], 0) + cands - 1) // block_l
+            return (i, jnp.minimum(j, live) // scr)
+        return (i, j // scr)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(s_dim, n_blocks),
+        in_specs=[
+            pl.BlockSpec((1, cm, hd), lambda i, j, *_: (i, 0, 0),
+                         memory_space=pltpu.VMEM),           # q compact
+            pl.BlockSpec((1, cm, 1), lambda i, j, *_: (i, 0, 0),
+                         memory_space=pltpu.VMEM),           # q scales
+            pl.BlockSpec((block_l, w), kv_index,
+                         memory_space=pltpu.VMEM),           # K flat
+            pl.BlockSpec((block_l, w), kv_index,
+                         memory_space=pltpu.VMEM),           # V flat
+            pl.BlockSpec((m_base, sc_block if quantized else 1), sc_index,
+                         memory_space=pltpu.VMEM),           # K scales [M, sc]
+            pl.BlockSpec((m_base, sc_block if quantized else 1), sc_index,
+                         memory_space=pltpu.VMEM),           # V scales
+        ],
+        out_specs=pl.BlockSpec((1, cm, hd), lambda i, j, *_: (i, 0, 0),
+                               memory_space=pltpu.VMEM),
+        scratch_shapes=[
+            pltpu.VMEM((cm, 1), jnp.float32),
+            pltpu.VMEM((cm, 1), jnp.float32),
+            pltpu.VMEM((cm, w), jnp.float32),
+            pltpu.VMEM((cm, w), qc.dtype),
+        ],
+    )
+    out = pl.pallas_call(
+        functools.partial(
+            _wide_multi_kernel, block_l=block_l, n_kv=n_kv, rep=rep, hd=hd,
+            cands=cands, kv_int8=kv_int8, quantized=quantized,
+            sc_block=sc_block,
+        ),
+        out_shape=jax.ShapeDtypeStruct((s_dim, cm, hd), jnp.float32),
+        grid_spec=grid_spec,
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary", "arbitrary"),
+        ),
+        interpret=bool(interpret),
+    )(scalars, qc, qs, kf, vf, ksr, vsr)
+    return out.reshape(s_dim, cands, n_heads, hd)
+
+
 def _paged_sc_index(s_dim, ps, sc_block, quantized):
     """Scale-row index map for the paged kernel: follows the same live-page
     clamp as the KV blocks so dead-tail scale DMAs are elided too."""
