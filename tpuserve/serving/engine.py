@@ -38,7 +38,7 @@ from tpuserve.models.llama import KVCache, LlamaParams
 from tpuserve.quant.core import QTensor, quantize_param_tree
 from tpuserve.repository.config import ModelConfig
 from tpuserve.serving.sampling import (
-    SamplingParams, sample, sample_with_logprobs)
+    SamplingParams, sample, sample_with_logprobs, spec_accept)
 from tpuserve.utils.dtypes import DataType
 from tpuserve.utils.errors import BackendError, InvalidArgumentError, ResourceExhaustedError
 from tpuserve.utils.tensor import Tensor
@@ -375,15 +375,16 @@ class GenerationEngine:
                 return out, lps, cache, presence
 
             def verify_fn(params, tokens, cache, table, positions, lengths,
-                          window):
+                          sampling, key, window):
+                """Verification + exact acceptance (greedy AND sampled slots)
+                in one dispatch: spec_accept implements point-mass rejection
+                sampling, so only [S, C] token/logprob/accept arrays cross
+                the host boundary — never the [S, C, V] logits."""
                 logits, cache = llama.verify_step_paged(
                     params, p, tokens, cache, table, positions, lengths,
                     window=window)
-                lf = logits.astype(jnp.float32)
-                toks = jnp.argmax(lf, axis=-1).astype(jnp.int32)
-                lse = jax.nn.logsumexp(lf, axis=-1)
-                lp = jnp.take_along_axis(lf, toks[..., None], axis=-1)[..., 0] - lse
-                return toks, lp, cache
+                out, lp, acc = spec_accept(logits, tokens, lengths, sampling, key)
+                return out, lp, acc, cache
 
             self._verify_jit = jax.jit(
                 verify_fn, donate_argnums=(2,), static_argnames=("window",))
@@ -459,16 +460,16 @@ class GenerationEngine:
                 )
                 return out, lps, cache, presence
 
-            def verify_fn(params, tokens, cache, positions, lengths, window):
-                """Speculative verification: greedy tokens + logprobs for C
-                candidate positions per slot in one dispatch."""
+            def verify_fn(params, tokens, cache, positions, lengths,
+                          sampling, key, window):
+                """Verification + exact acceptance (greedy AND sampled slots)
+                in one dispatch: spec_accept implements point-mass rejection
+                sampling, so only [S, C] token/logprob/accept arrays cross
+                the host boundary — never the [S, C, V] logits."""
                 logits, cache = llama.verify_step(
                     params, p, tokens, cache, positions, lengths, window=window)
-                lf = logits.astype(jnp.float32)
-                toks = jnp.argmax(lf, axis=-1).astype(jnp.int32)
-                lse = jax.nn.logsumexp(lf, axis=-1)
-                lp = jnp.take_along_axis(lf, toks[..., None], axis=-1)[..., 0] - lse
-                return toks, lp, cache
+                out, lp, acc = spec_accept(logits, tokens, lengths, sampling, key)
+                return out, lp, acc, cache
 
             self._verify_jit = jax.jit(
                 verify_fn, donate_argnums=(2,), static_argnames=("window",))
@@ -887,20 +888,23 @@ class GenerationEngine:
                 w *= 2
             window = min(w, self.max_seq_len)
         try:
+            self._key, sub = jax.random.split(self._key)
             if self.ptm is not None:
                 ps_ = self.ptm.page_size
                 last_pos = max(positions[i] for i in active) + c - 1
                 window = min(-(-(last_pos + 1) // ps_) * ps_, self.max_seq_len)
-                toks_d, lps_d, self.cache = self._verify_jit(
+                toks_d, lps_d, acc_d, self.cache = self._verify_jit(
                     self.params, jnp.asarray(toks), self.cache,
                     self.ptm.device_table(), jnp.asarray(positions),
-                    jnp.asarray(lens), window=window)
+                    jnp.asarray(lens), self._sampling, sub, window=window)
             else:
-                toks_d, lps_d, self.cache = self._verify_jit(
+                toks_d, lps_d, acc_d, self.cache = self._verify_jit(
                     self.params, jnp.asarray(toks), self.cache,
-                    jnp.asarray(positions), jnp.asarray(lens), window=window)
-            g = np.asarray(toks_d)   # [S, C] greedy continuations
+                    jnp.asarray(positions), jnp.asarray(lens),
+                    self._sampling, sub, window=window)
+            g = np.asarray(toks_d)   # [S, C] accepted run (col acc = final)
             lps = np.asarray(lps_d)  # [S, C]
+            acc = np.asarray(acc_d)  # [S] accepted draft count
         except Exception as e:
             for i in active:
                 st = self._slots[i]
@@ -914,9 +918,7 @@ class GenerationEngine:
         for i in list(active):
             st = self._slots[i]
             prop = props[i]
-            a = 0
-            while a < len(prop) and prop[a] == int(g[i, a]):
-                a += 1
+            a = min(int(acc[i]), len(prop))
             self.spec_drafted += len(prop)
             self.spec_accepted += a
             seq = prop[:a] + [int(g[i, a])]
@@ -1064,14 +1066,17 @@ class GenerationEngine:
                         horizon = 1
                         break
             # ---- speculative decoding (prompt-lookup): when every active
-            # slot is greedy + unpenalized and at least one has a draft,
-            # verify all drafts in ONE dispatch and accept the argmax-
-            # matching prefix — outputs are exactly the greedy sequence.
+            # slot is unpenalized and at least one has a draft, verify all
+            # drafts in ONE dispatch. Greedy slots accept the argmax-matching
+            # prefix (outputs exactly the greedy sequence); sampled slots use
+            # point-mass rejection sampling (spec_accept) — outputs are
+            # distributed exactly as token-by-token sampling. Only the
+            # repetition penalty disables speculation: its presence mask
+            # would have to evolve inside the accepted run.
             spec_k = int(getattr(self.config.generation, "speculation_tokens", 0) or 0)
             if (spec_k > 0 and self._verify_jit is not None
                     and self._pending.empty() and self._chunking is None
-                    and all(self._slots[i].request.temperature <= 0
-                            and self._slots[i].request.repetition_penalty == 1.0
+                    and all(self._slots[i].request.repetition_penalty == 1.0
                             and not self._slots[i].request.aborted
                             for i in active)):
                 if self._spec_step(active, positions, tokens, spec_k):
