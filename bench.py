@@ -187,26 +187,39 @@ def main():
     dt_mean = (time.time() - t_all) / (outer_steps * inner_steps)
     dt = min(chunk_dts)
     tokens_per_s = n_slots / dt
-    peak_gbps = max(peak_gbps, measure_peak_gbps())
+    probe_gbps = max(peak_gbps, measure_peak_gbps())
 
-    # roofline: weights + the full active KV window + embed row traffic per
-    # step, over the MEASURED achievable bandwidth (the spec-bandwidth
-    # roofline is also reported; it is unreachable by construction on this
-    # relay — even a bare XLA reduce tops out at the measured number). The
-    # kernel's per-slot DMA skip can legitimately exceed this roofline when
-    # contexts are shorter than the window (it reads fewer bytes than the
-    # model assumes).
+    # roofline methodology (honest by construction): a decode step must
+    # stream weights + the active KV window once. achieved_gbps charges the
+    # step its FULL static window byte count (the kernel's per-slot DMA
+    # skip means the true bytes moved are fewer — so achieved_gbps is an
+    # upper-bound estimator and can exceed the probe, as r2's BENCH showed:
+    # 125% "of roofline" was the probe under-measuring the step's weather
+    # window plus skipped bytes being charged). The roofline denominator is
+    # therefore clamped to max(probe, achieved): vs_baseline <= 1.0 always,
+    # and a step that beats the probe raises the roofline rather than
+    # "exceeding" it. The spec-bandwidth roofline (819 GB/s) is reported
+    # too; it is unreachable on this relay (bare XLA reduce ~295 GB/s).
     step_bytes = wbytes + kv_bytes
+    achieved_gbps = step_bytes / dt / 1e9
+    peak_gbps = max(probe_gbps, achieved_gbps)
     roofline_tokens = peak_gbps * 1e9 / step_bytes * n_slots
     roofline_spec_tokens = HBM_SPEC_GBPS * 1e9 / step_bytes * n_slots
+    # decode-step matmul FLOPs: ~2 * active param bytes-equivalent params
+    # per token; quantized weights hold the same matmul FLOP count as their
+    # dequantized form. MFU is tiny by design — decode is bandwidth-bound.
+    flops_per_tok = 2.0 * llama.active_param_count(p) if hasattr(
+        llama, "active_param_count") else 0.0
+    mfu_spec = (flops_per_tok * tokens_per_s) / (394e12) if flops_per_tok else None
     print(
         f"# step best {dt*1e3:.2f} / mean {dt_mean*1e3:.2f} ms | {tokens_per_s:.0f} tok/s"
+        f" | achieved {achieved_gbps:.0f} GB/s (probe {probe_gbps:.0f})"
         f" | roofline {roofline_tokens:.0f} tok/s (measured-peak) / "
         f"{roofline_spec_tokens:.0f} (spec)",
         file=sys.stderr,
     )
 
-    print(json.dumps({
+    out = {
         "metric": f"decode_tokens_per_s_per_chip_int{bits}_{model_name}_bs{n_slots}"
                   + ("_paged" if paged else ""),
         "value": round(tokens_per_s, 1),
@@ -214,11 +227,17 @@ def main():
         "vs_baseline": round(tokens_per_s / roofline_tokens, 4),
         "roofline_tokens_per_s_measured_peak": round(roofline_tokens, 1),
         "roofline_tokens_per_s_spec": round(roofline_spec_tokens, 1),
+        "achieved_gbps_full_window_equiv": round(achieved_gbps, 1),
+        "probe_peak_gbps": round(probe_gbps, 1),
         "measured_peak_gbps": round(peak_gbps, 1),
+        "bw_util_vs_spec": round(achieved_gbps / HBM_SPEC_GBPS, 4),
         "spec_gbps": HBM_SPEC_GBPS,
         "step_ms_best": round(dt * 1e3, 3),
         "step_ms_mean": round(dt_mean * 1e3, 3),
-    }))
+    }
+    if mfu_spec is not None:
+        out["mfu_vs_spec_394tf"] = round(mfu_spec, 5)
+    print(json.dumps(out))
 
 
 if __name__ == "__main__":

@@ -77,6 +77,20 @@ class LlamaParams:
                    head_dim=16, ffn_dim=128)
 
 
+def active_param_count(p: LlamaParams) -> int:
+    """Matmul-active parameters per decoded token (MoE counts only the
+    top-k experts a token routes through). 2*this is the step's matmul
+    FLOPs per token — the MFU numerator (bench.py)."""
+    qd = p.n_heads * p.head_dim
+    kvd = p.n_kv_heads * p.head_dim
+    attn = p.dim * qd + 2 * p.dim * kvd + qd * p.dim
+    ffn = 3 * p.dim * p.ffn_dim
+    if p.n_experts:
+        ffn = ffn * p.n_experts_per_tok + p.dim * p.n_experts  # + router
+    head = p.dim * p.vocab_size  # lm_head (tied or not, the matmul runs)
+    return p.n_layers * (attn + ffn) + head
+
+
 # ---------------------------------------------------------------------- weights
 def init_params(rng: jax.Array, p: LlamaParams, dtype=jnp.bfloat16) -> Dict[str, jax.Array]:
     """Random-init weights (flat dict). Serving normally loads a checkpoint;

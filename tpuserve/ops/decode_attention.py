@@ -104,6 +104,16 @@ _NEG_INF = -1e30
 # no per-layer slice/reshape and one Mosaic compile serves every layer.
 
 
+def _pad8(m: int) -> int:
+    """Mosaic requires block sublane dims divisible by 8 (or equal to the
+    full array dim). Per-slot scale tiles partition the [S*M, L] scale rows
+    with sublane blocks of M, so models with M % 8 != 0 (e.g. 4-head
+    fixtures) must pad each slot's rows to the next multiple of 8; kernels
+    slice the live [:M] rows back out (a static slice). Gated so M % 8 == 0
+    models trace the exact same graph as before (compile-cache stable)."""
+    return -(-m // 8) * 8
+
+
 def _subtile(tile, j, block_l, sc_block):
     """Select the [M, block_l] lane subtile of a [M, sc_block] scale tile
     for L-block j. Mosaic requires block lane widths divisible by 128 (or
@@ -148,6 +158,11 @@ def _wide_kernel(pos_ref, qw_ref, qs_ref, k_ref, v_ref, ks_ref, vs_ref,
             for h in range(n_kv):
                 qw_scr_ref[:, h * hd:(h + 1) * hd] = jnp.where(row_h == h, qv, zero)
 
+    def _sc_tile(ref):
+        # scale tiles may carry _pad8 padding rows; slice the live [:M]
+        t = ref[...]
+        return t if t.shape[0] == m_dim else t[:m_dim]
+
     # skip L blocks wholly past this slot's live length (covers inactive
     # slots too: pos < 0 masks everything)
     @pl.when(j * block_l <= pos)
@@ -159,14 +174,14 @@ def _wide_kernel(pos_ref, qw_ref, qs_ref, k_ref, v_ref, ks_ref, vs_ref,
                 qw, kb, (((1,), (1,)), ((), ())),
                 preferred_element_type=jnp.int32,
             ).astype(jnp.float32)             # [M, bl] via int8 MXU
-            s = s * qs_ref[0] * _subtile(ks_ref[...], j, block_l, sc_block)
+            s = s * qs_ref[0] * _subtile(_sc_tile(ks_ref), j, block_l, sc_block)
         else:
             s = jax.lax.dot_general(
                 qw.astype(jnp.float32), kb.astype(jnp.float32),
                 (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32,
             )
             if quantized:
-                s = s * _subtile(ks_ref[...], j, block_l, sc_block)
+                s = s * _subtile(_sc_tile(ks_ref), j, block_l, sc_block)
 
         # causal/liveness mask over lanes (positions)
         lpos = jax.lax.broadcasted_iota(jnp.int32, (1, block_l), 1) + j * block_l
@@ -182,7 +197,7 @@ def _wide_kernel(pos_ref, qw_ref, qs_ref, k_ref, v_ref, ks_ref, vs_ref,
 
         if quantized:
             # V dequant folded at O(M*bl)
-            p = p * _subtile(vs_ref[...], j, block_l, sc_block)
+            p = p * _subtile(_sc_tile(vs_ref), j, block_l, sc_block)
         vb = v_ref[...]
         if kv_int8:
             # quantize P rows to int8 (SageAttention2-style) so P@V runs on
@@ -220,7 +235,9 @@ def _wide_kernel(pos_ref, qw_ref, qs_ref, k_ref, v_ref, ks_ref, vs_ref,
             sel = (row_h == h).astype(jnp.float32)
             out = out + acc_ref[:, h * hd:(h + 1) * hd] * sel
         l_all = l_ref[:, 0:1]
-        o_ref[0] = jnp.where(l_all > 0, out / jnp.maximum(l_all, 1e-20), 0.0)
+        res = jnp.where(l_all > 0, out / jnp.maximum(l_all, 1e-20), 0.0)
+        m_out = o_ref.shape[-2]  # < m_dim when Q_wide rows were _pad8-padded
+        o_ref[0] = res if m_out == m_dim else res[:m_out]
 
 
 def _prep_q_compact(q, k_dtype, kv_int8):
@@ -240,14 +257,19 @@ def _prep_scales(k_scale, v_scale, *, s_dim, m_dim, rep, quantized, l_win):
     reshape; GQA repeats on a major dim (no transpose either way). The old
     [S, L, Hkv] layout cost a materialized repeat+transpose per layer per
     step (~3-4%% of decode bytes at 7B)."""
+    m_pad = _pad8(m_dim)
     if quantized:
         if rep > 1:
             k_scale = jnp.repeat(k_scale, rep, axis=1)
             v_scale = jnp.repeat(v_scale, rep, axis=1)
-        ksr = k_scale.reshape(s_dim * m_dim, l_win)
-        vsr = v_scale.reshape(s_dim * m_dim, l_win)
+        if m_pad != m_dim:  # sublane legality for M % 8 != 0 (see _pad8)
+            pad = ((0, 0), (0, m_pad - m_dim), (0, 0))
+            k_scale = jnp.pad(k_scale, pad)
+            v_scale = jnp.pad(v_scale, pad)
+        ksr = k_scale.reshape(s_dim * m_pad, l_win)
+        vsr = v_scale.reshape(s_dim * m_pad, l_win)
     else:
-        ksr = jnp.zeros((s_dim * m_dim, 1), jnp.float32)
+        ksr = jnp.zeros((s_dim * m_pad, 1), jnp.float32)
         vsr = ksr
     return ksr, vsr
 
@@ -270,7 +292,15 @@ def _prep_wide(q, k_dtype, k_scale, v_scale, *, rep, n_kv, kv_int8,
     else:
         qwide = (qc.astype(jnp.float32)[:, :, None, :]
                  * onehot[None, :, :, None]).astype(qc.dtype)
-    qwide = qwide.reshape(s_dim * n_heads, w)
+    m_pad = _pad8(m_dim)
+    if m_pad != m_dim:
+        # the prebuilt-Q_wide kernel partitions [S*M, W] rows with sublane
+        # blocks of M: pad each slot's rows (zero rows score ~uniform
+        # garbage the caller's o_ref slice drops — see _wide_kernel m_out)
+        pad = ((0, 0), (0, m_pad - m_dim), (0, 0))
+        qwide = jnp.pad(qwide.reshape(s_dim, n_heads, w), pad)
+        qs = jnp.pad(qs, pad)
+    qwide = qwide.reshape(s_dim * m_pad, w)
     ksr, vsr = _prep_scales(k_scale, v_scale, s_dim=s_dim, m_dim=m_dim,
                             rep=rep, quantized=quantized, l_win=l_win)
     return qwide, qs, ksr, vsr
@@ -327,6 +357,7 @@ def decode_attention_wide(
     qwide, qs, ksr, vsr = _prep_wide(
         q, k.dtype, k_scale, v_scale, rep=rep, n_kv=n_kv, kv_int8=kv_int8,
         quantized=quantized, l_win=l_max)
+    m_pad = _pad8(m_dim)  # Q_wide/scale rows are per-slot padded (see _pad8)
 
     kf = k.reshape(s_dim * l_max, w)
     vf = v.reshape(s_dim * l_max, w)
@@ -337,19 +368,19 @@ def decode_attention_wide(
         num_scalar_prefetch=1,
         grid=(s_dim, n_blocks),
         in_specs=[
-            pl.BlockSpec((m_dim, w), lambda i, j, *_: (i, 0),
+            pl.BlockSpec((m_pad, w), lambda i, j, *_: (i, 0),
                          memory_space=pltpu.VMEM),           # Q_wide rows
-            pl.BlockSpec((1, m_dim, 1), lambda i, j, *_: (i, 0, 0),
+            pl.BlockSpec((1, m_pad, 1), lambda i, j, *_: (i, 0, 0),
                          memory_space=pltpu.VMEM),           # q scales
             pl.BlockSpec((block_l, w), lambda i, j, *_: (i * lpb + j, 0),
                          memory_space=pltpu.VMEM),           # K flat
             pl.BlockSpec((block_l, w), lambda i, j, *_: (i * lpb + j, 0),
                          memory_space=pltpu.VMEM),           # V flat
-            pl.BlockSpec((m_dim, sc_block if quantized else 1),
+            pl.BlockSpec((m_pad, sc_block if quantized else 1),
                          (lambda i, j, *_: (i, j // scr)) if quantized
                          else (lambda i, j, *_: (i, 0)),
                          memory_space=pltpu.VMEM),           # K scales [M, sc]
-            pl.BlockSpec((m_dim, sc_block if quantized else 1),
+            pl.BlockSpec((m_pad, sc_block if quantized else 1),
                          (lambda i, j, *_: (i, j // scr)) if quantized
                          else (lambda i, j, *_: (i, 0)),
                          memory_space=pltpu.VMEM),           # V scales
@@ -357,9 +388,9 @@ def decode_attention_wide(
         out_specs=pl.BlockSpec((1, m_dim, hd), lambda i, j, *_: (i, 0, 0),
                                memory_space=pltpu.VMEM),
         scratch_shapes=[
-            pltpu.VMEM((m_dim, 1), jnp.float32),   # running max
-            pltpu.VMEM((m_dim, 1), jnp.float32),   # running sum
-            pltpu.VMEM((m_dim, w), jnp.float32),   # O_wide accumulator
+            pltpu.VMEM((m_pad, 1), jnp.float32),   # running max
+            pltpu.VMEM((m_pad, 1), jnp.float32),   # running sum
+            pltpu.VMEM((m_pad, w), jnp.float32),   # O_wide accumulator
         ],
     )
     out = pl.pallas_call(
@@ -407,8 +438,15 @@ def _packed_kernel(pos_ref, qc_ref, qs_ref, k_ref, v_ref, ks_ref, vs_ref,
     # slot-local scale rows tiled across the sb column blocks: cross-slot
     # entries get the wrong slot's scale, but those scores are masked below
     if quantized:
-        ks = jnp.concatenate([ks_ref[...]] * sb, axis=1)   # [sm, sb*L]
-        vs = jnp.concatenate([vs_ref[...]] * sb, axis=1)
+        kt, vt = ks_ref[...], vs_ref[...]
+        m_pad = kt.shape[0] // sb    # per-slot rows may carry _pad8 padding
+        if m_pad != m_dim:
+            kt = jnp.concatenate(
+                [kt[t * m_pad:t * m_pad + m_dim] for t in range(sb)], axis=0)
+            vt = jnp.concatenate(
+                [vt[t * m_pad:t * m_pad + m_dim] for t in range(sb)], axis=0)
+        ks = jnp.concatenate([kt] * sb, axis=1)            # [sm, sb*L]
+        vs = jnp.concatenate([vt] * sb, axis=1)
     if kv_int8:
         s = jax.lax.dot_general(
             qw_scr[...], kb, (((1,), (1,)), ((), ())),
@@ -541,6 +579,7 @@ def decode_attention_wide_cache(
     qc, qs = _prep_q_compact(q, k_full.dtype, kv_int8)
     ksr, vsr = _prep_scales(k_scale_l, v_scale_l, s_dim=s_dim, m_dim=m_dim,
                             rep=rep, quantized=quantized, l_win=win)
+    m_pad = _pad8(m_dim)  # scale rows are per-slot padded (see _pad8)
 
     kf = k_full.reshape(n_layers * s_dim * l_max, w)
     vf = v_full.reshape(n_layers * s_dim * l_max, w)
@@ -574,9 +613,9 @@ def decode_attention_wide_cache(
                 pl.BlockSpec((sb * l_max, w),
                              lambda g, sref: (sref[0] * (s_dim // sb) + g, 0),
                              memory_space=pltpu.VMEM),   # V packed slots
-                pl.BlockSpec((sb * m_dim, win if quantized else 1),
+                pl.BlockSpec((sb * m_pad, win if quantized else 1),
                              lambda g, *_: (g, 0), memory_space=pltpu.VMEM),
-                pl.BlockSpec((sb * m_dim, win if quantized else 1),
+                pl.BlockSpec((sb * m_pad, win if quantized else 1),
                              lambda g, *_: (g, 0), memory_space=pltpu.VMEM),
             ],
             out_specs=pl.BlockSpec((sb, m_dim, hd), lambda g, *_: (g, 0, 0),
@@ -633,9 +672,9 @@ def decode_attention_wide_cache(
                          memory_space=pltpu.VMEM),           # K flat (layer off)
             pl.BlockSpec((block_l, w), kv_index,
                          memory_space=pltpu.VMEM),           # V flat
-            pl.BlockSpec((m_dim, sc_block if quantized else 1), sc_index,
+            pl.BlockSpec((m_pad, sc_block if quantized else 1), sc_index,
                          memory_space=pltpu.VMEM),           # K scales [M, sc]
-            pl.BlockSpec((m_dim, sc_block if quantized else 1), sc_index,
+            pl.BlockSpec((m_pad, sc_block if quantized else 1), sc_index,
                          memory_space=pltpu.VMEM),           # V scales
         ],
         out_specs=pl.BlockSpec((1, m_dim, hd), lambda i, j, *_: (i, 0, 0),
@@ -705,6 +744,8 @@ def _wide_multi_kernel(pos_ref, qw_ref, qs_ref, k_ref, v_ref, ks_ref, vs_ref,
 
         def tile_c(tile):
             # expand a per-head [M, x] scale tile to candidate-major [CM, x]
+            if tile.shape[0] != m_base:  # drop _pad8 padding rows first
+                tile = tile[:m_base]
             return jnp.concatenate([tile] * cands, axis=0) if cands > 1 else tile
 
         if kv_int8:
@@ -821,6 +862,7 @@ def decode_attention_wide_cache_multi(
     qc, qs = _prep_q_compact(q.reshape(s_dim, cm, hd), k_full.dtype, kv_int8)
     ksr, vsr = _prep_scales(k_scale_l, v_scale_l, s_dim=s_dim, m_dim=m_base,
                             rep=rep, quantized=quantized, l_win=win)
+    m_pad = _pad8(m_base)  # scale rows are per-slot padded (see _pad8)
 
     kf = k_full.reshape(n_layers * s_dim * l_max, w)
     vf = v_full.reshape(n_layers * s_dim * l_max, w)
@@ -858,9 +900,9 @@ def decode_attention_wide_cache_multi(
                          memory_space=pltpu.VMEM),           # K flat
             pl.BlockSpec((block_l, w), kv_index,
                          memory_space=pltpu.VMEM),           # V flat
-            pl.BlockSpec((m_base, sc_block if quantized else 1), sc_index,
+            pl.BlockSpec((m_pad, sc_block if quantized else 1), sc_index,
                          memory_space=pltpu.VMEM),           # K scales [M, sc]
-            pl.BlockSpec((m_base, sc_block if quantized else 1), sc_index,
+            pl.BlockSpec((m_pad, sc_block if quantized else 1), sc_index,
                          memory_space=pltpu.VMEM),           # V scales
         ],
         out_specs=pl.BlockSpec((1, cm, hd), lambda i, j, *_: (i, 0, 0),
@@ -963,6 +1005,7 @@ def decode_attention_wide_paged(
         k_scale_l[:, :, :win] if quantized else None,
         v_scale_l[:, :, :win] if quantized else None,
         s_dim=s_dim, m_dim=m_dim, rep=rep, quantized=quantized, l_win=win)
+    m_pad = _pad8(m_dim)  # scale rows are per-slot padded (see _pad8)
 
     kf = k_pool.reshape(n_layers * n_pages * ps, w)
     vf = v_pool.reshape(n_layers * n_pages * ps, w)
@@ -989,10 +1032,10 @@ def decode_attention_wide_paged(
                          memory_space=pltpu.VMEM),           # q scales
             pl.BlockSpec((ps, w), kv_index, memory_space=pltpu.VMEM),
             pl.BlockSpec((ps, w), kv_index, memory_space=pltpu.VMEM),
-            pl.BlockSpec((m_dim, sc_block if quantized else 1),
+            pl.BlockSpec((m_pad, sc_block if quantized else 1),
                          _paged_sc_index(s_dim, ps, sc_block, quantized),
                          memory_space=pltpu.VMEM),           # K scales [M, sc]
-            pl.BlockSpec((m_dim, sc_block if quantized else 1),
+            pl.BlockSpec((m_pad, sc_block if quantized else 1),
                          _paged_sc_index(s_dim, ps, sc_block, quantized),
                          memory_space=pltpu.VMEM),           # V scales
         ],

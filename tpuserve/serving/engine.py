@@ -23,6 +23,7 @@ from __future__ import annotations
 
 import dataclasses
 import itertools
+import logging
 import os
 import queue
 import threading
@@ -42,6 +43,8 @@ from tpuserve.serving.sampling import (
 from tpuserve.utils.dtypes import DataType
 from tpuserve.utils.errors import BackendError, InvalidArgumentError, ResourceExhaustedError
 from tpuserve.utils.tensor import Tensor
+
+log = logging.getLogger("tpuserve.engine")
 
 _QUANT_BITS = {"int8": 8, "int4": 4}
 
@@ -108,8 +111,9 @@ class GenerationEngine:
         self._prefill_suffix_jit = None  # paged prefix-sharing suffix prefill
         self._tok_ms_ema: Optional[float] = None  # adaptive-horizon EMA
         self._verify_jit = None  # speculative verification (plain mode)
+        self._spec_disabled = False  # latched on verify dispatch failure
         self.spec_drafted = 0   # drafted tokens proposed
-        self.spec_accepted = 0  # drafted tokens accepted
+        self.spec_accepted = 0  # drafted tokens accepted (actually emitted)
         self._horizon_last = 1
         self._thread: Optional[threading.Thread] = None
         self._running = False
@@ -906,13 +910,17 @@ class GenerationEngine:
             lps = np.asarray(lps_d)  # [S, C]
             acc = np.asarray(acc_d)  # [S] accepted draft count
         except Exception as e:
-            for i in active:
-                st = self._slots[i]
-                st.request.error = str(e)
-                st.request.token_queue.put(None)
-                st.request.done.set()
-                self._slots[i] = None
-            return True
+            # Speculation is an optimization: a verify dispatch failure
+            # (e.g. a Mosaic lowering error for this model's head count)
+            # must never take down in-flight requests. self.cache was not
+            # reassigned (the dispatch raised before the tuple unpack), so
+            # the plain decode path the caller falls through to is intact.
+            self._spec_disabled = True
+            log.error(
+                "speculative verify dispatch failed; disabling speculation "
+                "for this engine's lifetime and falling back to plain "
+                "decode: %s", e)
+            return False
         self.steps += 1
         self._horizon_last = 1
         for i in list(active):
@@ -920,12 +928,16 @@ class GenerationEngine:
             prop = props[i]
             a = min(int(acc[i]), len(prop))
             self.spec_drafted += len(prop)
-            self.spec_accepted += a
             seq = prop[:a] + [int(g[i, a])]
             for j, t in enumerate(seq):
                 st.next_pos += 1
                 st.generated += 1
                 st.last_token = int(t)
+                if j < a:
+                    # count accepted drafts only as they are delivered, so
+                    # tokens discarded past a mid-run EOS/stop don't inflate
+                    # the acceptance rate
+                    self.spec_accepted += 1
                 self._emit(st.request, st.last_token, float(lps[i, j]))
                 if self._retire_if_done(st):
                     # tokens past EOS/stop in the accepted run are discarded;
@@ -1075,6 +1087,7 @@ class GenerationEngine:
             # would have to evolve inside the accepted run.
             spec_k = int(getattr(self.config.generation, "speculation_tokens", 0) or 0)
             if (spec_k > 0 and self._verify_jit is not None
+                    and not self._spec_disabled
                     and self._pending.empty() and self._chunking is None
                     and all(self._slots[i].request.repetition_penalty == 1.0
                             and not self._slots[i].request.aborted
