@@ -103,6 +103,69 @@ class TestPipelineForward:
         assert np.all(np.asarray(pp_d)[3] == 0.0)  # inactive slot
 
 
+class TestPipelineTensorParallel:
+    """pp x tp composition: layers stage over "pp" while each stage's
+    weights/heads shard over "tp" (stage-local Megatron split) — the
+    BASELINE.md config-4 topology (70B multi-host wants pp x tp)."""
+
+    @pytest.mark.parametrize("quant", [None, 8])
+    def test_pp2_tp2_matches_single_device(self, quant):
+        raw = _params(P4, quant=quant)
+        mesh = make_pipeline_mesh(2, 2)
+        stacked = place_pipeline_params(
+            stack_layer_params(raw, P4, tp=2), mesh)
+
+        n_slots, max_len = 8, 32
+        quant_kv = quant is not None
+        mk = lambda: KVCache.create(
+            P4, n_slots, max_len, quantized=quant_kv,
+            dtype=None if quant_kv else jnp.float32)
+        cache_ref, cache_pp = mk(), mk()
+        from tpuserve.parallel.pipeline import shard_cache_pp
+        cache_pp = shard_cache_pp(cache_pp, mesh)
+
+        prompt = jnp.asarray([[7, 11, 23, 5, 19, 3]], jnp.int32)
+        ref_l, cache_ref = llama.prefill(raw, P4, prompt, cache_ref,
+                                         jnp.int32(2), jnp.int32(6))
+        pp_l, cache_pp = jax.jit(
+            lambda pr, t, c, s, ln: pp_prefill(pr, P4, t, c, s, ln, mesh),
+            donate_argnums=(2,))(stacked, prompt, cache_pp,
+                                 jnp.int32(2), jnp.int32(6))
+        np.testing.assert_allclose(np.asarray(pp_l), np.asarray(ref_l),
+                                   rtol=2e-3, atol=2e-3)
+
+        tokens = jnp.asarray([3, 9, int(jnp.argmax(ref_l[0])), 1, 0, 5, 2, 8],
+                             jnp.int32)
+        positions = jnp.asarray([0, 0, 6, -1, 0, 0, -1, 0], jnp.int32)
+        ref_d, _ = llama.decode_step(raw, P4, tokens, cache_ref, positions)
+        pp_d, _ = jax.jit(
+            lambda pr, t, c, pos: pp_decode_step(pr, P4, t, c, pos, mesh),
+            donate_argnums=(2,))(stacked, tokens, cache_pp, positions)
+        np.testing.assert_allclose(np.asarray(pp_d), np.asarray(ref_d),
+                                   rtol=2e-3, atol=2e-3)
+        assert np.all(np.asarray(pp_d)[3] == 0.0)
+
+    def test_tp_shuffle_roundtrip(self):
+        """Rank-major fused-column shuffle: concatenating every rank's
+        slice of [q|k|v] recovers the per-projection splits."""
+        from tpuserve.parallel.pipeline import _tp_shuffle_cols
+        qd, kvd, tp = 8, 4, 2
+        w = jnp.arange(2 * (qd + 2 * kvd)).reshape(2, qd + 2 * kvd)
+        out = np.asarray(_tp_shuffle_cols(w, [qd, kvd, kvd], tp))
+        width = (qd + 2 * kvd) // tp
+        for r in range(tp):
+            sl = out[:, r * width:(r + 1) * width]
+            ql, kl, vl = (qd // tp), (kvd // tp), (kvd // tp)
+            np.testing.assert_array_equal(
+                sl[:, :ql], np.asarray(w)[:, r * ql:(r + 1) * ql])
+            np.testing.assert_array_equal(
+                sl[:, ql:ql + kl],
+                np.asarray(w)[:, qd + r * kl:qd + (r + 1) * kl])
+            np.testing.assert_array_equal(
+                sl[:, ql + kl:],
+                np.asarray(w)[:, qd + kvd + r * vl:qd + kvd + (r + 1) * vl])
+
+
 def _write_pp_repo(tmp_path, name, sharding=None, quant="int8", **gen_extra):
     vdir = os.path.join(str(tmp_path), name, "1")
     os.makedirs(vdir, exist_ok=True)
@@ -144,13 +207,23 @@ class TestPipelineEngine:
         out = self._gen(tmp_path, "pp4", sharding={"pipeline_parallel": 4})
         assert ref["output_ids"] == out["output_ids"]
 
+    def test_pp_tp_matches_unsharded(self, tmp_path):
+        """pp=2 x tp=2 generates the same greedy tokens as single-device."""
+        ref = self._gen(tmp_path, "pptp_solo")
+        out = self._gen(tmp_path, "pp2tp2", sharding={
+            "pipeline_parallel": 2, "tensor_parallel": 2})
+        assert ref["output_ids"] == out["output_ids"]
+
     def test_pp_rejects_compositions(self, tmp_path):
         from tpuserve.repository.config import ModelConfig
         from tpuserve.serving.engine import GenerationEngine
         from tpuserve.utils.errors import BackendError
 
         cases = [
-            dict(sharding={"pipeline_parallel": 2, "tensor_parallel": 2}),
+            dict(sharding={"pipeline_parallel": 2, "data_parallel": 2}),
+            dict(sharding={"pipeline_parallel": 2, "sequence_parallel": 2}),
+            # tp composes now, but head counts must divide (n_kv_heads=2)
+            dict(sharding={"pipeline_parallel": 2, "tensor_parallel": 4}),
             dict(sharding={"pipeline_parallel": 2}, paged=True, page_size=16),
             dict(sharding={"pipeline_parallel": 2}, prefill_chunk=16),
             dict(sharding={"pipeline_parallel": 3}),  # n_layers % pp != 0

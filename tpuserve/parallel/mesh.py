@@ -50,11 +50,15 @@ def make_mesh(tp: int = 1, dp: int = 1, sp: int = 1,
     return Mesh(arr, axis_names=("dp", "tp"))
 
 
-def make_pipeline_mesh(pp: int, devices: Optional[Sequence] = None) -> Mesh:
-    """1-D ("pp",) mesh: transformer layers stage over it (see
-    parallel/pipeline.py). Kept separate from the (dp, sp, tp) mesh — v1
-    pipeline parallelism is exclusive with the other axes."""
-    devs = list(devices) if devices is not None else mesh_devices(pp)
+def make_pipeline_mesh(pp: int, tp: int = 1,
+                       devices: Optional[Sequence] = None) -> Mesh:
+    """("pp",) mesh — or ("pp", "tp") when tp > 1: transformer layers stage
+    over "pp" while each stage's weights/heads shard over "tp" (see
+    parallel/pipeline.py). "tp" is the minor dim so its per-layer psums ride
+    ICI-adjacent links; "pp" activations rotate once per tick (cheap)."""
+    devs = list(devices) if devices is not None else mesh_devices(pp * tp)
+    if tp > 1:
+        return Mesh(np.array(devs).reshape(pp, tp), axis_names=("pp", "tp"))
     return Mesh(np.array(devs), axis_names=("pp",))
 
 

@@ -35,6 +35,7 @@ from typing import Dict, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from tpuserve.models.llama import (
@@ -54,8 +55,52 @@ from tpuserve.quant.core import QExperts, QTensor
 
 _STACK = "stacked_layers/"  # param-dict prefix for [n_layers, ...] stacks
 
+# pp x tp composition (v2): within each pipeline stage, layer weights also
+# shard over a "tp" axis — column-parallel qkv/gate-up, row-parallel
+# wo/w_down with one psum each (Megatron split), attention over local
+# kv-head groups. Fused weights ([q|k|v], [gate|up]) are column-REGROUPED
+# rank-major at stack time (_tp_shuffle_cols) so each tp shard's slice is
+# exactly its local fused weight and the in-island `qkv[..., :qd_local]`
+# splits stay correct.
+_COL_SFX = ("wq/kernel", "wk/kernel", "wv/kernel", "wqkv/kernel",
+            "w_gate/kernel", "w_up/kernel", "w_gateup/kernel")
+_ROW_SFX = ("wo/kernel", "w_down/kernel")
 
-def stack_layer_params(params: Dict, p: LlamaParams) -> Dict:
+
+def _fused_segments(sfx: str, p: LlamaParams):
+    """Column segment widths of a fused weight (None = not fused)."""
+    if sfx.endswith("wqkv/kernel"):
+        qd = p.n_heads * p.head_dim
+        kvd = p.n_kv_heads * p.head_dim
+        return [qd, kvd, kvd]
+    if sfx.endswith("w_gateup/kernel"):
+        return [p.ffn_dim, p.ffn_dim]
+    return None
+
+
+def _tp_shuffle_cols(leaf, segs, tp: int):
+    """Reorder the last axis of a stacked weight from segment-major
+    [s0 | s1 | ...] to rank-major [s0_r0|s1_r0|...|s0_r1|...] so a plain
+    P(..., "tp") split hands rank r exactly its heads'/columns' fused
+    slice. Host-side one-time gather; scales permute identically (per
+    output column)."""
+    offs = np.cumsum([0] + segs[:-1])
+    perm = []
+    for r in range(tp):
+        for off, w_ in zip(offs, segs):
+            if w_ % tp != 0:
+                raise ValueError(
+                    f"fused segment width {w_} must divide tensor_parallel {tp}")
+            wl = w_ // tp
+            perm.extend(range(off + r * wl, off + (r + 1) * wl))
+    perm = jnp.asarray(np.asarray(perm, np.int32))
+    if isinstance(leaf, QExperts):
+        return dataclasses.replace(
+            leaf, q=leaf.q[..., perm], scale=leaf.scale[..., perm])
+    return leaf[..., perm]
+
+
+def stack_layer_params(params: Dict, p: LlamaParams, tp: int = 1) -> Dict:
     """Flat param dict with per-layer leaves -> one dict holding
     [n_layers, ...] stacks (prefix `stacked_layers/`) plus the shared
     (non-layer) params unchanged. QTensor layers stack into QExperts —
@@ -70,14 +115,19 @@ def stack_layer_params(params: Dict, p: LlamaParams) -> Dict:
             raise NotImplementedError(
                 "pipeline_parallel does not compose with MoE expert stacks yet")
         if isinstance(first, QTensor):
-            out[_STACK + sfx] = QExperts(
+            stacked = QExperts(
                 q=jnp.stack([t.q for t in leaves]),
                 scale=jnp.stack([t.scale for t in leaves]),
                 bits=first.bits, group_size=first.group_size,
                 orig_shape=(p.n_layers,) + tuple(first.orig_shape),
             )
         else:
-            out[_STACK + sfx] = jnp.stack(leaves)
+            stacked = jnp.stack(leaves)
+        if tp > 1:
+            segs = _fused_segments(sfx, p)
+            if segs is not None:
+                stacked = _tp_shuffle_cols(stacked, segs, tp)
+        out[_STACK + sfx] = stacked
     return out
 
 
@@ -93,16 +143,81 @@ def _layer_view(params: Dict, l: int) -> Dict:
     return view
 
 
-def pipeline_pspecs(params: Dict) -> Dict:
+def _stack_tp_axes(sfx: str, v, tp: int) -> Tuple[Optional[str], Optional[str]]:
+    """(weight-dim-1 axis, weight-dim-2 axis) for a [L, K, N] stack under
+    tp. Column weights shard N; row weights shard K (psum in-island)."""
+    if tp <= 1:
+        return None, None
+    if any(sfx.endswith(s) for s in _COL_SFX):
+        return None, "tp"
+    if any(sfx.endswith(s) for s in _ROW_SFX):
+        return "tp", None
+    return None, None
+
+
+def _local_params(p: LlamaParams, tp: int) -> LlamaParams:
+    """Per-tp-shard view of the model dims: each shard owns H/tp query
+    heads, Hkv/tp kv heads, F/tp ffn columns. The in-island compute uses
+    these so fused splits / reshapes / attention run on local shapes."""
+    if tp <= 1:
+        return p
+    return dataclasses.replace(
+        p, n_heads=p.n_heads // tp, n_kv_heads=p.n_kv_heads // tp,
+        ffn_dim=p.ffn_dim // tp)
+
+
+def _island_mm(tp: int):
+    """Matmul impl for code inside the pipeline island. tp == 1 is exactly
+    _mm_direct (unchanged graphs). Under tp: QTensor shards rebuild their
+    static orig_shape/group metadata from the LOCAL arrays (the stack aux
+    still says the global shape), and row-sharded contractions (wo, w_down)
+    psum their partials over "tp"."""
+    if tp <= 1:
+        return _mm_direct
+
+    def mm(view: Dict, name: str, x: jax.Array) -> jax.Array:
+        w = view[name]
+        if isinstance(w, QTensor):
+            k = w.q.shape[0] * (2 if w.bits == 4 else 1)
+            gs = 0 if w.scale.shape[0] == 1 else w.group_size
+            w = dataclasses.replace(
+                w, orig_shape=(k, w.q.shape[1]), group_size=gs)
+        out = _mm_w(x, w)
+        if any(name.endswith(s) for s in _ROW_SFX):
+            out = jax.lax.psum(out, "tp")
+        return out
+
+    return mm
+
+
+def pipeline_pspecs(params: Dict, tp: int = 1) -> Dict:
     """PartitionSpec tree for a stacked param dict: stacks shard dim 0 over
-    "pp", shared params replicate."""
+    "pp" (and their weight dims over "tp" per the Megatron col/row split
+    when tp > 1); shared params (norms, embed, lm_head) replicate."""
     specs = {}
     for k, v in params.items():
         if k.startswith(_STACK):
+            sfx = k[len(_STACK):]
+            ax1, ax2 = _stack_tp_axes(sfx, v, tp)
             if isinstance(v, QExperts):
-                sp = P("pp", *([None] * (v.q.ndim - 1)))
-                ssp = P("pp", *([None] * (v.scale.ndim - 1)))
+                pad = [None] * (v.q.ndim - 3)
+                sp = P("pp", ax1, *pad, ax2)
+                # scales [L, G, N]: G tracks K. G == 1 (one group spans all
+                # K) replicates correctly across row shards; G % tp != 0
+                # has no clean local dequant
+                s_ax1 = ax1
+                if ax1 is not None:
+                    g = v.scale.shape[1]
+                    if g == 1:
+                        s_ax1 = None
+                    elif g % tp != 0:
+                        raise ValueError(
+                            f"{sfx}: scale groups {g} must divide tp {tp} "
+                            "(or use group_size spanning the shard)")
+                ssp = P("pp", s_ax1, *([None] * (v.scale.ndim - 3)), ax2)
                 specs[k] = dataclasses.replace(v, q=sp, scale=ssp)
+            elif getattr(v, "ndim", 0) >= 3:
+                specs[k] = P("pp", ax1, *([None] * (v.ndim - 3)), ax2)
             else:
                 specs[k] = P("pp", *([None] * (v.ndim - 1)))
         else:
@@ -113,7 +228,7 @@ def pipeline_pspecs(params: Dict) -> Dict:
 
 def place_pipeline_params(params: Dict, mesh: Mesh) -> Dict:
     """device_put stacked params per pipeline_pspecs."""
-    specs = pipeline_pspecs(params)
+    specs = pipeline_pspecs(params, tp=int(mesh.shape.get("tp", 1)))
     out = {}
     for k, v in params.items():
         s = specs[k]
@@ -129,10 +244,13 @@ def place_pipeline_params(params: Dict, mesh: Mesh) -> Dict:
 
 
 def shard_cache_pp(cache: KVCache, mesh: Mesh) -> KVCache:
-    """Stage-local KV: the layer (leading) dim shards over "pp"."""
-    nd_kv = cache.k.ndim
-    kv = NamedSharding(mesh, P("pp", *([None] * (nd_kv - 1))))
-    sc = NamedSharding(mesh, P("pp", None, None, None))
+    """Stage-local KV: the layer (leading) dim shards over "pp"; under a
+    ("pp", "tp") mesh the kv-head dim additionally shards over "tp"."""
+    tp = int(mesh.shape.get("tp", 1))
+    kv_spec, sc_spec = _cache_specs(cache, tp)
+    kv = NamedSharding(mesh, kv_spec)
+    sc = NamedSharding(mesh, sc_spec if sc_spec is not None
+                       else P("pp", None, None, None))
     return KVCache(
         k=jax.device_put(cache.k, kv),
         v=jax.device_put(cache.v, kv),
@@ -142,10 +260,14 @@ def shard_cache_pp(cache: KVCache, mesh: Mesh) -> KVCache:
     )
 
 
-def _cache_specs(cache: KVCache) -> Tuple:
+def _cache_specs(cache: KVCache, tp: int = 1) -> Tuple:
     nd_kv = cache.k.ndim
-    kv = P("pp", *([None] * (nd_kv - 1)))
-    sc = P("pp", None, None, None) if cache.quantized else None
+    h_ax = "tp" if tp > 1 else None
+    if nd_kv == 5:  # [lp, S, L, Hkv, hd] (pp islands read the 5D layout)
+        kv = P("pp", None, None, h_ax, None)
+    else:           # flat [lp, S, L, W]: W splits on head boundaries
+        kv = P("pp", None, None, h_ax)
+    sc = P("pp", None, h_ax, None) if cache.quantized else None  # [lp,S,Hkv,L]
     return kv, sc
 
 
@@ -165,8 +287,12 @@ def pp_decode_step(params: Dict, p: LlamaParams, tokens: jax.Array,
     Same contract as llama.decode_step (tokens [S], positions [S] with -1 =
     inactive; returns (logits [S, V] f32, cache)) — params is the STACKED
     dict from stack_layer_params, cache layer-dim pp-sharded. S must divide
-    by pp (the engine enforces n_slots % pp == 0)."""
+    by pp (the engine enforces n_slots % pp == 0). Under a ("pp", "tp")
+    mesh each stage's weights/heads additionally shard over "tp" (Megatron
+    col/row split; one psum per wo and per w_down, riding minor-axis ICI)."""
     pp = int(mesh.shape["pp"])
+    tp = int(mesh.shape.get("tp", 1))
+    p_loc = _local_params(p, tp)
     lp = p.n_layers // pp
     s_dim = int(tokens.shape[0])
     mb = s_dim // pp
@@ -178,12 +304,12 @@ def pp_decode_step(params: Dict, p: LlamaParams, tokens: jax.Array,
     shared = {k: v for k, v in params.items() if not k.startswith(_STACK)}
     stacks = {k: params[k] for k in stack_keys}
 
-    spec_tree_stacks = {k: v for k, v in pipeline_pspecs(params).items()
+    spec_tree_stacks = {k: v for k, v in pipeline_pspecs(params, tp=tp).items()
                         if k.startswith(_STACK)}
     spec_tree_shared = {k: (dataclasses.replace(v, q=P(), scale=P())
                             if isinstance(v, QTensor) else P())
                         for k, v in shared.items()}
-    kv_spec, sc_spec = _cache_specs(cache)
+    kv_spec, sc_spec = _cache_specs(cache, tp)
     from jax.experimental.shard_map import shard_map
 
     def island(stk, shr, toks, pos, k_c, v_c, ks_c, vs_c):
@@ -214,9 +340,9 @@ def pp_decode_step(params: Dict, p: LlamaParams, tokens: jax.Array,
 
                 def attn_fn(q, k, v, ll=ll):
                     nonlocal k_c, v_c, ks_c, vs_c
-                    q = q.reshape(mb, p.n_heads, p.head_dim)
-                    k = k.reshape(mb, p.n_kv_heads, p.head_dim)
-                    v = v.reshape(mb, p.n_kv_heads, p.head_dim)
+                    q = q.reshape(mb, p_loc.n_heads, p.head_dim)
+                    k = k.reshape(mb, p_loc.n_kv_heads, p.head_dim)
+                    v = v.reshape(mb, p_loc.n_kv_heads, p.head_dim)
                     q = apply_rope(q, cos_q, sin_q)
                     k = apply_rope(k, cos_q, sin_q)
                     if quantized:
@@ -254,11 +380,12 @@ def pp_decode_step(params: Dict, p: LlamaParams, tokens: jax.Array,
                     else:
                         ksl = vsl = None
                     out = _gqa_decode_attention(
-                        q.reshape(mb, p.n_heads * p.head_dim),
-                        k_all, v_all, ksl, vsl, read_mask, p, x.dtype)
+                        q.reshape(mb, p_loc.n_heads * p.head_dim),
+                        k_all, v_all, ksl, vsl, read_mask, p_loc, x.dtype)
                     return out
 
-                x = _forward_block(view, "L", x, p, attn_fn, mm=_mm_direct)
+                x = _forward_block(view, "L", x, p_loc, attn_fn,
+                                   mm=_island_mm(tp))
             # last stage banks the finished microbatch's hidden states
             emit = jnp.logical_and(stage == pp - 1, valid)
             upd = jax.lax.dynamic_update_slice(xs_final, x, (row0, 0))
@@ -300,6 +427,8 @@ def pp_prefill(params: Dict, p: LlamaParams, tokens: jax.Array,
     Same contract as llama.prefill: tokens [1, C] right-padded, `length`
     real tokens; returns (logits [1, V] at length-1, cache)."""
     pp = int(mesh.shape["pp"])
+    tp = int(mesh.shape.get("tp", 1))
+    p_loc = _local_params(p, tp)
     lp = p.n_layers // pp
     b, c = tokens.shape
     quantized = cache.quantized
@@ -307,12 +436,12 @@ def pp_prefill(params: Dict, p: LlamaParams, tokens: jax.Array,
     stack_keys = [k for k in params if k.startswith(_STACK)]
     shared = {k: v for k, v in params.items() if not k.startswith(_STACK)}
     stacks = {k: params[k] for k in stack_keys}
-    spec_tree_stacks = {k: v for k, v in pipeline_pspecs(params).items()
+    spec_tree_stacks = {k: v for k, v in pipeline_pspecs(params, tp=tp).items()
                         if k.startswith(_STACK)}
     spec_tree_shared = {k: (dataclasses.replace(v, q=P(), scale=P())
                             if isinstance(v, QTensor) else P())
                         for k, v in shared.items()}
-    kv_spec, sc_spec = _cache_specs(cache)
+    kv_spec, sc_spec = _cache_specs(cache, tp)
     from jax.experimental.shard_map import shard_map
 
     def island(stk, shr, toks, slot_, length_, k_c, v_c, ks_c, vs_c):
@@ -330,9 +459,9 @@ def pp_prefill(params: Dict, p: LlamaParams, tokens: jax.Array,
 
                 def attn_fn(q, k, v, ll=ll):
                     nonlocal k_c, v_c, ks_c, vs_c
-                    q = q.reshape(b, c, p.n_heads, p.head_dim)
-                    k = k.reshape(b, c, p.n_kv_heads, p.head_dim)
-                    v = v.reshape(b, c, p.n_kv_heads, p.head_dim)
+                    q = q.reshape(b, c, p_loc.n_heads, p.head_dim)
+                    k = k.reshape(b, c, p_loc.n_kv_heads, p.head_dim)
+                    v = v.reshape(b, c, p_loc.n_kv_heads, p.head_dim)
                     q = apply_rope(q, cos_q, sin_q)
                     k = apply_rope(k, cos_q, sin_q)
                     if quantized:
@@ -363,7 +492,8 @@ def pp_prefill(params: Dict, p: LlamaParams, tokens: jax.Array,
                         vs_c = put(vs_c, vs.T)
                     return _attention_prefill(q, k, v, mask).reshape(b, c, -1)
 
-                x = _forward_block(view, "L", x, p, attn_fn, mm=_mm_direct)
+                x = _forward_block(view, "L", x, p_loc, attn_fn,
+                                   mm=_island_mm(tp))
             last = jnp.take_along_axis(
                 x, (length_ - 1)[None, None, None], axis=1)[:, 0, :]
             x_last = jnp.where(valid & (stage == pp - 1), last, x_last)

@@ -204,12 +204,14 @@ class GenerationEngine:
         self.mesh = None
         self._pp = 1
         if pp > 1:
-            # layer pipeline (capacity scaling): exclusive with the other
-            # axes in v1 — see parallel/pipeline.py for the design + the
-            # documented weight-reread tradeoff
-            if shard.tensor_parallel * shard.data_parallel * sp > 1:
+            # layer pipeline (capacity scaling); composes with tensor
+            # parallelism (stage-local Megatron split) — see
+            # parallel/pipeline.py for the design + the documented
+            # weight-reread tradeoff. dp/sp stay exclusive.
+            tp_pp = int(shard.tensor_parallel)
+            if shard.data_parallel * sp > 1:
                 raise BackendError(
-                    "pipeline_parallel is exclusive with tp/dp/sp (v1)")
+                    "pipeline_parallel is exclusive with dp/sp (v2 composes tp)")
             if self.config.generation.paged:
                 raise BackendError("pipeline_parallel does not compose with paged KV")
             if self._chunk_size > 0:
@@ -221,14 +223,23 @@ class GenerationEngine:
             if self.n_slots % pp != 0:
                 raise BackendError(
                     f"max_slots {self.n_slots} must divide by pipeline_parallel {pp}")
+            if tp_pp > 1 and (p.n_kv_heads % tp_pp or p.n_heads % tp_pp
+                              or p.ffn_dim % tp_pp):
+                raise BackendError(
+                    f"n_heads/n_kv_heads/ffn_dim must divide by "
+                    f"tensor_parallel {tp_pp} under pipeline_parallel")
+            if tp_pp > 1 and p.n_experts:
+                raise BackendError(
+                    "pipeline_parallel x tensor_parallel does not compose "
+                    "with MoE yet")
             from tpuserve.parallel.mesh import make_pipeline_mesh
             from tpuserve.parallel.pipeline import (
                 place_pipeline_params, stack_layer_params)
 
-            self.mesh = make_pipeline_mesh(pp)
+            self.mesh = make_pipeline_mesh(pp, tp_pp)
             self._pp = pp
             self.params = place_pipeline_params(
-                stack_layer_params(params, p), self.mesh)
+                stack_layer_params(params, p, tp=tp_pp), self.mesh)
         elif shard.tensor_parallel * shard.data_parallel * sp > 1:
             from tpuserve.parallel.mesh import make_mesh
             from tpuserve.parallel.sharding import shard_llama_params
