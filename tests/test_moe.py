@@ -93,6 +93,104 @@ class TestMoEForward:
             np.asarray(dec_logits[0]), np.asarray(ref_logits[0]), rtol=1e-4, atol=1e-4)
 
 
+class TestPrefillDispatch:
+    """Static-capacity top-k prefill dispatch (llama._moe_dispatch): expert
+    FLOPs ∝ k/E instead of the r2 all-experts form. Decode keeps the dense
+    loop (weight-read bound)."""
+
+    def _setup(self, t=24, d=16, f=32, e_n=8, k=2, seed=5):
+        rng = np.random.default_rng(seed)
+        h = jnp.asarray(rng.normal(size=(t, d)).astype(np.float32))
+        gu = jnp.asarray(rng.normal(size=(e_n, d, 2 * f)).astype(np.float32) * 0.1)
+        dn = jnp.asarray(rng.normal(size=(e_n, f, d)).astype(np.float32) * 0.1)
+        logits = jnp.asarray(rng.normal(size=(t, e_n)).astype(np.float32))
+        w_se = llama.moe_combine_weights(logits, e_n, k)
+        p = LlamaParams(dim=d, ffn_dim=f, n_experts=e_n, n_experts_per_tok=k)
+        ref = jnp.zeros_like(h)
+        for e in range(e_n):
+            y = llama.expert_forward(h, gu[e], dn[e], f)
+            ref = ref + w_se[:, e : e + 1] * y
+        return h, w_se, gu, dn, p, ref
+
+    def test_dispatch_full_capacity_matches_dense(self):
+        h, w_se, gu, dn, p, ref = self._setup()
+        out = llama._moe_dispatch(h, w_se, gu, dn, p, cap=h.shape[0])
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                                   rtol=1e-4, atol=1e-5)
+
+    def test_dispatch_balanced_capacity_matches_dense(self):
+        """cap = 2x balanced load: with this seed no expert overflows, so
+        the capacity path is numerically identical to dense."""
+        h, w_se, gu, dn, p, ref = self._setup()
+        cap = h.shape[0] * p.n_experts_per_tok * 2 // p.n_experts
+        # verify the seed actually stays under capacity (else reseed)
+        counts = np.bincount(
+            np.asarray(jax.lax.top_k(w_se, p.n_experts_per_tok)[1]).ravel(),
+            minlength=p.n_experts)
+        assert counts.max() <= cap, counts
+        out = llama._moe_dispatch(h, w_se, gu, dn, p, cap=cap)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                                   rtol=1e-4, atol=1e-5)
+
+    def test_overflow_drops_expert_contribution(self):
+        """Tokens routed past capacity lose that expert's contribution —
+        documented capacity-factor semantics, bounded garbage (not NaN)."""
+        h, w_se, gu, dn, p, _ = self._setup()
+        out = np.asarray(llama._moe_dispatch(h, w_se, gu, dn, p, cap=1))
+        assert np.isfinite(out).all()
+
+    def test_prefill_routes_through_dispatch(self, monkeypatch):
+        """3-D (prefill) input with E=8 k=2 and default cf=2 triggers the
+        dispatch path and matches the dense loop."""
+        h, w_se, gu, dn, p, _ = self._setup()
+        rng = np.random.default_rng(6)
+        # random router so tokens spread across experts (an all-zeros router
+        # ties every token onto experts 0/1 and overflows any cap < T)
+        router = jnp.asarray(rng.normal(size=(p.dim, p.n_experts))
+                             .astype(np.float32))
+        params = {"x/router/kernel": router,
+                  "x/moe_gateup/kernel": gu, "x/moe_down/kernel": dn}
+        h3 = jnp.asarray(rng.normal(size=(2, 12, p.dim)).astype(np.float32))
+        # ensure this seed stays under the cf=2 capacity (else reseed)
+        logits = h3.reshape(-1, p.dim) @ router
+        counts = np.bincount(
+            np.asarray(jax.lax.top_k(logits, p.n_experts_per_tok)[1]).ravel(),
+            minlength=p.n_experts)
+        cap = max(8, int(np.ceil(24 * p.n_experts_per_tok / p.n_experts * 2)))
+        assert counts.max() <= cap, counts
+        monkeypatch.setenv("TPUSERVE_MOE_CF", "0")
+        dense = llama._moe_ffn(params, "x", h3, p)
+        monkeypatch.setenv("TPUSERVE_MOE_CF", "2.0")
+        disp = llama._moe_ffn(params, "x", h3, p)
+        np.testing.assert_allclose(np.asarray(disp), np.asarray(dense),
+                                   rtol=1e-4, atol=1e-5)
+
+    def test_dispatch_flops_scale_with_k_over_e(self):
+        """Compiled FLOPs of the dispatch path ≈ k/E * cf of the dense
+        all-experts path (the r2 weakness this removes)."""
+        h, w_se, gu, dn, p, _ = self._setup(t=256, d=64, f=128)
+
+        def dense(h, w_se, gu, dn):
+            out = jnp.zeros_like(h)
+            for e in range(p.n_experts):
+                y = llama.expert_forward(h, gu[e], dn[e], p.ffn_dim)
+                out = out + w_se[:, e : e + 1] * y
+            return out
+
+        def disp(h, w_se, gu, dn):
+            return llama._moe_dispatch(h, w_se, gu, dn, p, cap=128)  # 2x bal
+
+        def flops(fn):
+            c = jax.jit(fn).lower(h, w_se, gu, dn).compile().cost_analysis()
+            c = c[0] if isinstance(c, (list, tuple)) else c
+            return float(c.get("flops", 0.0))
+
+        fd, fs = flops(dense), flops(disp)
+        if fd > 0 and fs > 0:  # cost model present on this backend
+            # dense ~ T*E expert passes, dispatch ~ E*cap = T*k*cf passes
+            assert fs < 0.75 * fd, (fs, fd)
+
+
 class TestExpertParallel:
     @pytest.mark.parametrize("quant", [None, 8, 4])
     def test_island_matches_loop(self, quant):

@@ -24,6 +24,7 @@ from __future__ import annotations
 
 import dataclasses
 import math
+import os
 from typing import Dict, Optional, Tuple
 
 import jax
@@ -468,12 +469,62 @@ def _moe_ffn(params, pre, h, p: LlamaParams, mm=None):
     # mesh active but experts don't divide tp: replicated loop through XLA
     # dequant (GSPMD cannot partition the single-chip pallas_call)
     up_flag = False if (mesh is not None and not direct) else None
+
+    # Prefill (3-D input, many tokens): top-k capacity dispatch — each
+    # expert computes over only the <= cap tokens routed to it instead of
+    # all T, so FLOPs drop from T*E to T*k*cf expert-passes (the all-experts
+    # form was r2's documented E/k x prefill overhead). Decode (2-D, few
+    # tokens) keeps the all-experts form: it is weight-read bound and the
+    # static dense loop avoids gather/scatter latency at T ~ slots.
+    cf = float(os.environ.get("TPUSERVE_MOE_CF", "2.0"))
+    t = h2.shape[0]
+    if cf > 0 and len(lead_shape) > 1:
+        cap = min(t, max(8, int(math.ceil(
+            t * p.n_experts_per_tok / p.n_experts * cf))))
+        if cap < t:
+            out = _moe_dispatch(h2, w2, gu, dn, p, cap, use_pallas=up_flag)
+            return out.reshape(*lead_shape, h.shape[-1])
+
     out = jnp.zeros_like(h2)
     for e in range(p.n_experts):
         y = expert_forward(h2, _expert_slice(gu, e), _expert_slice(dn, e),
                            p.ffn_dim, use_pallas=up_flag)
         out = out + w2[:, e : e + 1].astype(y.dtype) * y
     return out.reshape(*lead_shape, h.shape[-1])
+
+
+def _moe_dispatch(h2: jax.Array, w2: jax.Array, gu, dn, p: LlamaParams,
+                  cap: int, use_pallas=None) -> jax.Array:
+    """Static-capacity top-k MoE dispatch: gather each expert's routed
+    tokens into an [E, cap, D] buffer, run every expert over its own cap
+    rows, scatter-add the combined outputs back. All shapes static (XLA/MXU
+    friendly — no dynamic shapes); tokens routed past an expert's capacity
+    drop that expert's contribution (standard capacity-factor semantics;
+    TPUSERVE_MOE_CF sizes cap, default 2x the balanced load, 0 disables).
+
+    h2 [T, D] tokens; w2 [T, E] combine weights (zeros off the top-k)."""
+    t = h2.shape[0]
+    e_n, k = p.n_experts, p.n_experts_per_tok
+    top_w, top_idx = jax.lax.top_k(w2, k)           # [T, k]
+    pair_e = top_idx.reshape(-1)                    # [T*k] expert per pair
+    pair_t = jnp.repeat(jnp.arange(t, dtype=jnp.int32), k)
+    pair_w = top_w.reshape(-1)
+    onehot = jax.nn.one_hot(pair_e, e_n, dtype=jnp.int32)      # [T*k, E]
+    # position of each pair within its expert's arrival order
+    pos_in_e = jnp.sum((jnp.cumsum(onehot, axis=0) - 1) * onehot, axis=1)
+    slot = jnp.where(pos_in_e < cap, pos_in_e, cap)  # cap = overflow bin
+    gat_t = jnp.zeros((e_n, cap + 1), jnp.int32).at[pair_e, slot].set(pair_t)
+    gat_w = jnp.zeros((e_n, cap + 1), jnp.float32).at[pair_e, slot].set(
+        pair_w.astype(jnp.float32))
+    gat_t, gat_w = gat_t[:, :cap], gat_w[:, :cap]   # drop the overflow bin
+    xg = h2[gat_t.reshape(-1)].reshape(e_n, cap, h2.shape[1])
+    out = jnp.zeros((t, h2.shape[1]), jnp.float32)
+    for e in range(e_n):
+        y = expert_forward(xg[e], _expert_slice(gu, e), _expert_slice(dn, e),
+                           p.ffn_dim, use_pallas=use_pallas)
+        # unrouted slots carry weight 0 (token 0's row) — contribute nothing
+        out = out.at[gat_t[e]].add(gat_w[e][:, None] * y.astype(jnp.float32))
+    return out.astype(h2.dtype)
 
 
 def fuse_params(params: Dict, p: LlamaParams) -> Dict:
