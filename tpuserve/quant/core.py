@@ -120,14 +120,23 @@ def quantize(w, bits: int = 8, group_size: int = 128,
     q = q.reshape(k, n)
     scale = scale.reshape(groups, n)
     if bits == 4:
-        if gs % 2 != 0:
-            raise ValueError("INT4 packing requires an even group size")
-        un = (q.astype(jnp.int32) + 8).astype(jnp.uint8)  # offset-8 -> [0, 15]
-        ug = un.reshape(groups, gs, n)
-        lo = ug[:, : gs // 2, :]
-        hi = ug[:, gs // 2 :, :]
-        q = (lo | (hi << 4)).reshape(k // 2, n).astype(jnp.uint8)  # [K//2, N]
+        q = pack_int4(q, gs)
     return QTensor(q=q, scale=scale, bits=bits, group_size=gs if groups > 1 else 0, orig_shape=(k, n))
+
+
+def pack_int4(q: jax.Array, gs: int) -> jax.Array:
+    """int8 codes [K, N] in [-8, 7] -> packed uint8 [K//2, N], split-half
+    per group (inverse of `unpack_int4`). `gs` is the unpacked group size
+    along K (or K itself for one group)."""
+    k, n = q.shape
+    if gs % 2 != 0:
+        raise ValueError("INT4 packing requires an even group size")
+    groups = k // gs
+    un = (jnp.asarray(q).astype(jnp.int32) + 8).astype(jnp.uint8)  # offset-8 -> [0, 15]
+    ug = un.reshape(groups, gs, n)
+    lo = ug[:, : gs // 2, :]
+    hi = ug[:, gs // 2 :, :]
+    return (lo | (hi << 4)).reshape(k // 2, n).astype(jnp.uint8)  # [K//2, N]
 
 
 def unpack_int4(packed: jax.Array, group_size: int = 0) -> jax.Array:

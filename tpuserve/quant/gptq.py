@@ -1,0 +1,221 @@
+"""GPTQ: calibrated, error-compensated weight quantization.
+
+Round-to-nearest (even with MSE clip search) quantizes each weight in
+isolation; at 4 bits the per-group noise lands straight on the layer
+output. GPTQ (Frantar et al., 2022) instead minimizes the OUTPUT error
+||(W - Q) X||_F layer by layer: rows of W (input dims, our K axis) are
+quantized in order, and each row's rounding error is propagated into the
+not-yet-quantized rows through the inverse Hessian H^-1 = (X X^T + λI)^-1
+of the layer's calibration activations, so later rows absorb earlier
+rows' mistakes.
+
+Output format is EXACTLY `quant.core.QTensor` (same group scales, same
+split-half int4 packing), so the fused Pallas dequant matmul and every
+serving path consume GPTQ weights unchanged — calibration is a pure
+load-time improvement.
+
+The implementation is written from the published algorithm (blocked
+Cholesky form), not ported: host-side numpy in f64 (quantization is a
+one-time load cost; the O(K^2 N) trailing updates are ~1e10 flops for 7B
+projections — seconds per weight).
+
+No pretrained checkpoints exist in this environment (zero egress), so the
+in-repo calibration source is the same synthetic token distribution the
+accuracy harness evaluates on; real deployments pass their own token
+sample (`scripts/convert_hf_llama.py --gptq-calib`). Reference parity:
+the reference server (model.cpp:1158-1328) runs pre-quantized engines and
+has no quantizer at all — this is north-star BASELINE.md territory.
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Dict, Optional
+
+import numpy as np
+
+from tpuserve.quant.core import QTensor, pack_int4, _group_count
+
+
+def gptq_quantize(w, h, bits: int = 4, group_size: int = 128,
+                  percdamp: float = 0.01, block: int = 128,
+                  n_samples: Optional[int] = None) -> QTensor:
+    """Quantize one [K, N] weight given the calibration Hessian H [K, K]
+    (sum over calibration tokens of x x^T; un-normalized is fine — the
+    algorithm is scale-invariant in H up to the damping split).
+
+    Group scales are computed from the CURRENT (error-updated) rows when
+    row processing enters each group, exactly like grouped GPTQ.
+
+    `n_samples`: calibration token count behind H. When it is below K the
+    Hessian is rank-deficient and the inverse-Hessian propagation
+    overfits the calibration subspace — MEASURED to make GPTQ *worse*
+    than RTN on held-out inputs (tests/test_gptq.py). Damping is scaled
+    by max(1, K / n_samples) to pull the propagation toward identity
+    (= plain RTN) exactly when the data cannot support it.
+    """
+    import jax.numpy as jnp
+
+    w = np.asarray(w, np.float64)
+    if w.ndim != 2:
+        raise ValueError(f"gptq_quantize expects a 2-D weight, got {w.shape}")
+    k, n = w.shape
+    h = np.asarray(h, np.float64).copy()
+    if h.shape != (k, k):
+        raise ValueError(f"Hessian shape {h.shape} != ({k}, {k})")
+
+    qmax = {8: 127.0, 4: 7.0}[bits]
+    groups = _group_count(k, group_size)
+    gs = k // groups
+
+    # dead inputs (never activated in calibration): freeze to 0
+    diag = np.diag(h).copy()
+    dead = diag <= 0
+    h[dead, dead] = 1.0
+    w[dead, :] = 0.0
+
+    if n_samples is not None and n_samples < k:
+        # rank-deficient H (fewer calibration tokens than input dims):
+        # shrink toward the diagonal — a diagonal H has zero propagation,
+        # i.e. exact RTN, the correct no-information asymptote. Linear-in-
+        # deficit α measured on held-out data: beats both plain GPTQ
+        # (which overfits the calibration subspace, up to 1.27x RTN error)
+        # and pure RTN at every T/K tested (tests/test_gptq.py).
+        alpha = 1.0 - n_samples / k
+        h = (1.0 - alpha) * h + alpha * np.diag(np.diag(h))
+    damp = percdamp * float(np.mean(diag[~dead])) if (~dead).any() else 1.0
+    h[np.arange(k), np.arange(k)] += max(damp, 1e-10)
+
+    # U upper-triangular with U^T U = H^-1; U[i, i:] carries the
+    # trailing-submatrix inverse info the elimination order needs
+    hinv = np.linalg.inv(h)
+    # symmetrize against inv() roundoff before Cholesky
+    hinv = (hinv + hinv.T) / 2.0
+    u = np.linalg.cholesky(hinv).T
+
+    q_codes = np.zeros((k, n), np.int8)
+    scale = np.zeros((groups, n), np.float64)
+
+    for i1 in range(0, k, block):
+        i2 = min(i1 + block, k)
+        err_blk = np.zeros((i2 - i1, n), np.float64)
+        for i in range(i1, i2):
+            g = i // gs
+            if i % gs == 0:
+                # scale from the error-updated rows of this group
+                absmax = np.abs(w[i : i + gs, :]).max(axis=0)
+                scale[g] = np.maximum(absmax / qmax, 1e-8)
+            d = u[i, i]
+            qi = np.clip(np.round(w[i] / scale[g]), -qmax - 1, qmax)
+            q_codes[i] = qi.astype(np.int8)
+            dq = qi * scale[g]
+            err = (w[i] - dq) / d
+            if i + 1 < i2:
+                w[i + 1 : i2, :] -= np.outer(u[i, i + 1 : i2], err)
+            err_blk[i - i1] = err
+        if i2 < k:
+            w[i2:, :] -= u[i1:i2, i2:].T @ err_blk
+
+    scale_j = jnp.asarray(scale, jnp.float32)
+    if bits == 4:
+        qj = pack_int4(jnp.asarray(q_codes), gs)
+    else:
+        qj = jnp.asarray(q_codes)
+    return QTensor(q=qj, scale=scale_j, bits=bits,
+                   group_size=gs if groups > 1 else 0, orig_shape=(k, n))
+
+
+def collect_and_quantize_llama(params: Dict, p, tokens,
+                               bits: int = 4, group_size: int = 128,
+                               percdamp: float = 0.01,
+                               quantize_lm_head: bool = True,
+                               progress=None) -> Dict:
+    """Sequentially GPTQ-quantize a Llama param dict.
+
+    Layer by layer: (1) run the block forward with the CURRENT params
+    (earlier layers already quantized — the calibration activations see
+    the quantized prefix, like the reference algorithm), recording each
+    projection's input Hessian via the `mm` hook; (2) GPTQ-quantize the
+    layer's 2-D kernels; (3) advance activations through the quantized
+    block. `tokens` [B, L] int32 calibration batch.
+
+    MoE expert stacks are left unquantized here (per-expert routed
+    Hessians are a different collection problem); callers quantize them
+    with the RTN path.
+
+    Calibration size matters: below ~2x the largest contraction dim
+    (ffn_dim) the Hessians are rank-deficient and GPTQ degrades toward —
+    or below — RTN on held-out data (damping auto-scales as a backstop,
+    but data is the fix). A warning is logged when under-calibrated.
+    """
+    import logging
+
+    import jax
+    import jax.numpy as jnp
+
+    from tpuserve.models import llama as L
+
+    tokens = jnp.asarray(tokens, jnp.int32)
+    b, seq = tokens.shape
+    n_samples = b * seq
+    k_max = max(p.dim, p.ffn_dim, p.n_heads * p.head_dim)
+    if n_samples < 2 * k_max:
+        logging.getLogger("tpuserve.quant").warning(
+            "gptq: %d calibration tokens < 2x max contraction dim %d — "
+            "Hessians are under-determined; expect RTN-level (not better) "
+            "accuracy. Provide a larger calibration sample.",
+            n_samples, k_max)
+    x = params["embed/weight"][tokens].astype(jnp.float32)
+    positions = jnp.arange(seq, dtype=jnp.int32)[None, :]
+    cos, sin = L.rope_cos_sin(positions, p.head_dim, p.rope_theta)
+    cos, sin = cos[:, :, None, :], sin[:, :, None, :]
+    mask = positions[:, :, None] >= positions[:, None, :]
+
+    def attn_fn(q, k_, v):
+        q = q.reshape(b, seq, p.n_heads, p.head_dim)
+        k_ = k_.reshape(b, seq, p.n_kv_heads, p.head_dim)
+        v = v.reshape(b, seq, p.n_kv_heads, p.head_dim)
+        q = L.apply_rope(q, cos, sin)
+        k_ = L.apply_rope(k_, cos, sin)
+        return L._attention_prefill(q, k_, v, mask).reshape(b, seq, -1)
+
+    out = dict(params)
+
+    def hessian_of(inp) -> np.ndarray:
+        xf = np.asarray(inp, np.float64).reshape(-1, inp.shape[-1])
+        return xf.T @ xf
+
+    for l in range(p.n_layers):
+        pre = f"layers.{l}"
+        hs: Dict[str, np.ndarray] = {}
+
+        def rec_mm(prm, name, inp):
+            if name.endswith("kernel") and getattr(prm[name], "ndim", 0) == 2:
+                key = name
+                hcur = hessian_of(inp)
+                hs[key] = hs[key] + hcur if key in hs else hcur
+            return L._mm_direct(prm, name, inp)
+
+        # eager (un-jitted) pass so the recorder sees concrete values
+        L._forward_block(out, pre, x, p, attn_fn, mm=rec_mm)
+
+        for name, h in hs.items():
+            w = out[name]
+            out[name] = gptq_quantize(np.asarray(w, np.float32), h,
+                                      bits=bits, group_size=group_size,
+                                      percdamp=percdamp,
+                                      n_samples=n_samples)
+            if progress:
+                progress(name)
+
+        x = L._forward_block(out, pre, x, p, attn_fn, mm=L._mm_direct)
+
+    if quantize_lm_head and "lm_head/kernel" in out:
+        hfin = hessian_of(L.rms_norm(out, "final_norm", x, p.rms_eps))
+        out["lm_head/kernel"] = gptq_quantize(
+            np.asarray(out["lm_head/kernel"], np.float32), hfin,
+            bits=bits, group_size=group_size, percdamp=percdamp,
+            n_samples=n_samples)
+        if progress:
+            progress("lm_head/kernel")
+    return out

@@ -92,6 +92,12 @@ class QuantizationConfig:
     # the real serving path (ACCURACY.json kv_cache_int8_scales), i.e.
     # accuracy-free next to int8's own quantization error.
     kv_scale_dtype: str = "bfloat16"  # bfloat16 | float32
+    # weight quantizer: "rtn" (round-to-nearest + MSE clip search at int4)
+    # or "gptq" (Hessian-calibrated error compensation, quant/gptq.py —
+    # llama-family LLMs only). "calibration" names an .npy int32 [B, L]
+    # token file for gptq; "synthetic" draws random tokens (fixture use).
+    method: str = "rtn"  # rtn | gptq
+    calibration: str = "synthetic"
 
     @classmethod
     def from_dict(cls, d: Optional[Dict[str, Any]]) -> "QuantizationConfig":
@@ -102,7 +108,14 @@ class QuantizationConfig:
             kv_cache=str(d.get("kv_cache", "none")).lower(),
             activations=str(d.get("activations", "none")).lower(),
             kv_scale_dtype=str(d.get("kv_scale_dtype", "bfloat16")).lower(),
+            method=str(d.get("method", "rtn")).lower(),
+            calibration=str(d.get("calibration", "synthetic")),
         )
+        if cfg.method not in ("rtn", "gptq"):
+            raise InvalidArgumentError(f"unsupported quantization method '{cfg.method}'")
+        if cfg.method == "gptq" and cfg.activations != "none":
+            raise InvalidArgumentError(
+                "quantization.method 'gptq' composes with bf16 activations only")
         if cfg.weights not in ("none", "int8", "int4"):
             raise InvalidArgumentError(f"unsupported weight quantization '{cfg.weights}'")
         if cfg.kv_cache not in ("none", "int8"):

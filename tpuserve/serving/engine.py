@@ -174,6 +174,37 @@ class GenerationEngine:
             f"no checkpoint in {self.model_dir} and model_params.init != 'random'"
         )
 
+    def _gptq_quantize(self, raw: Dict, bits: int, qcfg) -> Dict:
+        """Hessian-calibrated GPTQ for the dense llama projections (2-D
+        kernels incl. fused wqkv/w_gateup and lm_head); MoE expert stacks
+        fall back to the RTN path afterwards (routed per-expert Hessians
+        are not collected). Calibration tokens: an .npy int32 [B, L] file
+        named by quantization.calibration, or a synthetic random draw."""
+        from tpuserve.quant.gptq import collect_and_quantize_llama
+
+        calib_src = qcfg.calibration
+        if calib_src and calib_src != "synthetic":
+            path = calib_src if os.path.isabs(calib_src) else os.path.join(
+                self.model_dir, calib_src)
+            tokens = np.load(path).astype(np.int32)
+            if tokens.ndim != 2:
+                raise BackendError(
+                    f"gptq calibration file {path} must be int32 [B, L]")
+        else:
+            tokens = np.random.default_rng(0).integers(
+                0, self.p.vocab_size, (16, 128)).astype(np.int32)
+        t0 = time.monotonic()
+        params = collect_and_quantize_llama(
+            raw, self.p, tokens, bits=bits, group_size=qcfg.group_size)
+        if self.p.n_experts:
+            params = quantize_param_tree(
+                params, bits=bits, group_size=qcfg.group_size,
+                predicate=lambda n, a: getattr(a, "ndim", 0) == 3
+                and n.endswith("kernel") and "router" not in n)
+        log.info("gptq calibration+quantization took %.1fs (%d tokens)",
+                 time.monotonic() - t0, tokens.size)
+        return params
+
     def start(self) -> None:
         p = self.p
         raw = llama.fuse_params(self._load_params(), p)
@@ -188,11 +219,14 @@ class GenerationEngine:
                     return False
                 return arr.ndim in (2, 3) and name.endswith("kernel")
 
-            params = quantize_param_tree(
-                raw, bits=bits, group_size=qcfg.group_size, predicate=pred,
-                act_bits=8 if qcfg.activations == "int8" else 0,
-                act_fp8=qcfg.activations == "fp8",
-            )
+            if qcfg.method == "gptq":
+                params = self._gptq_quantize(raw, bits, qcfg)
+            else:
+                params = quantize_param_tree(
+                    raw, bits=bits, group_size=qcfg.group_size, predicate=pred,
+                    act_bits=8 if qcfg.activations == "int8" else 0,
+                    act_fp8=qcfg.activations == "fp8",
+                )
         else:
             params = raw
         # multi-chip placement per config.sharding (TP x DP [x SP]
