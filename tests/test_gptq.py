@@ -26,10 +26,11 @@ def _problem(seed=0, k=256, n=64, t=512):
 class TestGptqWeight:
     def test_identity_hessian_equals_rtn(self):
         """H = I ⇒ the Cholesky factor is diagonal ⇒ zero error propagation
-        ⇒ GPTQ must reduce exactly to absmax RTN (codes AND scales)."""
+        ⇒ GPTQ must reduce exactly to clip-search RTN (codes AND scales —
+        both search the same clip grid)."""
         w, _, _ = _problem()
         qt_g = gptq_quantize(w, np.eye(w.shape[0]) * 512.0, bits=4, group_size=64)
-        qt_r = quantize(jnp.asarray(w), bits=4, group_size=64, clip_search=False)
+        qt_r = quantize(jnp.asarray(w), bits=4, group_size=64, clip_search=True)
         assert (np.asarray(qt_g.q) == np.asarray(qt_r.q)).all()
         np.testing.assert_allclose(np.asarray(qt_g.scale),
                                    np.asarray(qt_r.scale), rtol=1e-5)

@@ -102,9 +102,28 @@ def gptq_quantize(w, h, bits: int = 4, group_size: int = 128,
         for i in range(i1, i2):
             g = i // gs
             if i % gs == 0:
-                # scale from the error-updated rows of this group
-                absmax = np.abs(w[i : i + gs, :]).max(axis=0)
-                scale[g] = np.maximum(absmax / qmax, 1e-8)
+                # scale from the error-updated rows of this group; MSE clip
+                # search (same grid as quant.core) composes with the error
+                # compensation — absmax alone loses to RTN+clip at int4
+                wg = w[i : i + gs, :]
+                absmax = np.abs(wg).max(axis=0)
+                base = np.maximum(absmax / qmax, 1e-8)
+                if bits <= 4:
+                    best_err = None
+                    best = base
+                    for a in (1.0, 0.95, 0.9, 0.85, 0.8, 0.75, 0.7):
+                        s_c = np.maximum(absmax * a / qmax, 1e-8)
+                        qv = np.clip(np.round(wg / s_c), -qmax - 1, qmax)
+                        err_c = ((qv * s_c - wg) ** 2).sum(axis=0)
+                        if best_err is None:
+                            best_err, best = err_c, s_c
+                        else:
+                            take = err_c < best_err
+                            best_err = np.where(take, err_c, best_err)
+                            best = np.where(take, s_c, best)
+                    scale[g] = best
+                else:
+                    scale[g] = base
             d = u[i, i]
             qi = np.clip(np.round(w[i] / scale[g]), -qmax - 1, qmax)
             q_codes[i] = qi.astype(np.int8)
