@@ -129,9 +129,10 @@ def main():
         scale_dt = jnp.float32 if os.environ.get(
             "TPUSERVE_BENCH_KV_SCALE_DTYPE", "bf16").lower() in ("f32", "float32") \
             else jnp.bfloat16  # bf16 default: accuracy-free (ACCURACY.json)
+        kv_bits = int(os.environ.get("TPUSERVE_BENCH_KV_BITS", "8"))
         cache = KVCache.create(p, n_slots, max_len, quantized=True,
                                flat=llama.preferred_cache_flat(p, max_len),
-                               scale_dtype=scale_dt)
+                               scale_dtype=scale_dt, kv_bits=kv_bits)
     kv_bytes = cache.nbytes
     print(f"# kv cache: {kv_bytes/1e9:.2f} GB", file=sys.stderr)
 

@@ -77,8 +77,11 @@ def main():
             spec = name.replace("pallas", "")
             skip = "1"
             scale_dt = jnp.float32
+            kv_bits = 8
             if spec.endswith("ns"):  # "pallas128ns" = no dyn skip
                 spec, skip = spec[:-2], "0"
+            if spec.endswith("i4"):  # "pallas128i4" = packed int4 KV (+bf16 scales)
+                spec, kv_bits, scale_dt = spec[:-2], 4, jnp.bfloat16
             if spec.endswith("sb"):  # "pallas128sb" = bf16 KV scales
                 spec, scale_dt = spec[:-2], jnp.bfloat16
             env = {"TPUSERVE_DECODE_ATTN": "pallas",
@@ -90,7 +93,8 @@ def main():
         try:
             cache = KVCache.create(
                 p, n_slots, max_len, quantized=True, flat=flat,
-                scale_dtype=scale_dt if name != "xla" else jnp.float32)
+                scale_dtype=scale_dt if name != "xla" else jnp.float32,
+                kv_bits=kv_bits if name != "xla" else 8)
             tokens = jnp.zeros((n_slots,), jnp.int32)
             positions = jnp.asarray(pos0)
             fn = jax.jit(multistep, donate_argnums=(2,))

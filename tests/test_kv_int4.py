@@ -1,0 +1,164 @@
+"""Packed INT4 KV cache: pack/unpack roundtrip, the wide kernel's
+two-half-dot unpack vs the XLA reference, and the end-to-end serving path.
+
+The decode step is HBM-bound at ~97% of the chip's deliverable bandwidth
+(docs/design.md), so halving KV bytes is a direct step-time lever; the
+accuracy gate for the scheme (per-(pos, head) scales, qmax 7) is measured
+at KL ~0.0096 on the real serving path (ACCURACY.json kv_int4)."""
+
+import math
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from tpuserve.models import llama
+from tpuserve.models.llama import (
+    KVCache,
+    LlamaParams,
+    pack_kv_codes,
+    unpack_kv_codes,
+)
+from tpuserve.ops.decode_attention import decode_attention_wide_cache
+
+
+class TestPacking:
+    def test_roundtrip(self):
+        rng = np.random.default_rng(0)
+        codes = jnp.asarray(rng.integers(-8, 8, (3, 5, 256)).astype(np.int8))
+        packed = pack_kv_codes(codes)
+        assert packed.dtype == jnp.uint8 and packed.shape == (3, 5, 128)
+        np.testing.assert_array_equal(np.asarray(unpack_kv_codes(packed)),
+                                      np.asarray(codes))
+
+    def test_create_int4(self):
+        p = LlamaParams.tiny()
+        c = KVCache.create(p, 2, 32, quantized=True, flat=True, kv_bits=4)
+        assert c.k.dtype == jnp.uint8
+        assert c.k.shape[-1] == p.n_kv_heads * p.head_dim // 2
+        assert c.kv_bits == 4 and c.quantized
+        with pytest.raises(ValueError):
+            KVCache.create(p, 2, 32, quantized=True, flat=False, kv_bits=4)
+
+
+def _mk_case(seed=0, s_dim=4, n_kv=4, rep=2, hd=128, l_max=256, n_layers=2):
+    rng = np.random.default_rng(seed)
+    n_heads = n_kv * rep
+    w = n_kv * hd
+    q = jnp.asarray(rng.normal(size=(s_dim, n_heads, hd)).astype(np.float32))
+    codes_k = rng.integers(-8, 8, (n_layers, s_dim, l_max, w)).astype(np.int8)
+    codes_v = rng.integers(-8, 8, (n_layers, s_dim, l_max, w)).astype(np.int8)
+    ks = jnp.asarray(rng.uniform(0.01, 0.05, (s_dim, n_kv, l_max)).astype(np.float32))
+    vs = jnp.asarray(rng.uniform(0.01, 0.05, (s_dim, n_kv, l_max)).astype(np.float32))
+    positions = jnp.asarray([l_max - 1, 17, 0, -1][:s_dim], jnp.int32)
+    return q, codes_k, codes_v, ks, vs, positions
+
+
+def _xla_ref(q, codes_k, codes_v, ks, vs, positions, n_kv, hd, layer=1):
+    """Dense reference over the int4 CODES (so only the kernel's packing/
+    unpacking and P-quantization differ)."""
+    s_dim, n_heads, _ = q.shape
+    rep = n_heads // n_kv
+    l_max = codes_k.shape[2]
+    k = codes_k[layer].reshape(s_dim, l_max, n_kv, hd).astype(np.float32)
+    v = codes_v[layer].reshape(s_dim, l_max, n_kv, hd).astype(np.float32)
+    k = k * np.asarray(ks).transpose(0, 2, 1)[:, :, :, None]
+    v = v * np.asarray(vs).transpose(0, 2, 1)[:, :, :, None]
+    out = np.zeros((s_dim, n_heads, hd), np.float32)
+    for si in range(s_dim):
+        pos = int(positions[si])
+        if pos < 0:
+            continue
+        for h in range(n_heads):
+            g = h // rep
+            scores = (np.asarray(q)[si, h] @ k[si, : pos + 1, g].T)
+            scores -= scores.max()
+            pr = np.exp(scores) / np.exp(scores).sum()
+            out[si, h] = pr @ v[si, : pos + 1, g]
+    return out
+
+
+class TestWideCacheInt4:
+    def test_kernel_matches_xla_reference(self):
+        q, ck, cv, ks, vs, positions = _mk_case()
+        kf = pack_kv_codes(jnp.asarray(ck))
+        vf = pack_kv_codes(jnp.asarray(cv))
+        out = decode_attention_wide_cache(
+            q, kf, vf, ks, vs, positions, 1, interpret=True)
+        ref = _xla_ref(q, ck, cv, ks, vs, positions, n_kv=4, hd=128)
+        live = np.asarray(positions) >= 0
+        # atol covers the kernel's int8 P@V requantization noise (~5e-3 of
+        # the row max) on near-zero outputs
+        np.testing.assert_allclose(np.asarray(out)[live], ref[live],
+                                   rtol=5e-2, atol=8e-3)
+
+    def test_rejects_unaligned_w(self):
+        q, ck, cv, ks, vs, positions = _mk_case(n_kv=1, rep=8, hd=128)
+        with pytest.raises(ValueError):
+            decode_attention_wide_cache(
+                q, pack_kv_codes(jnp.asarray(ck)), pack_kv_codes(jnp.asarray(cv)),
+                ks, vs, positions, 0, interpret=True)
+
+
+class TestServingPathInt4:
+    def test_decode_close_to_fp_cache(self):
+        """Full prefill + decode on flat int4 vs fp32 caches (the XLA read
+        path on CPU): next-token distributions must stay close."""
+        p = LlamaParams.tiny()
+        params = llama.init_params(jax.random.PRNGKey(0), p, dtype=jnp.float32)
+        rng = np.random.default_rng(1)
+        ctx, dec = 24, 8
+        prompt = rng.integers(0, p.vocab_size, (1, ctx)).astype(np.int32)
+
+        def run(kv_bits):
+            if kv_bits == 0:
+                cache = KVCache.create(p, 1, ctx + dec + 1, quantized=False,
+                                       dtype=jnp.float32, flat=True)
+            else:
+                cache = KVCache.create(p, 1, ctx + dec + 1, quantized=True,
+                                       flat=True, kv_bits=kv_bits)
+            logits, cache = llama.prefill(
+                params, p, jnp.asarray(prompt), cache, jnp.int32(0),
+                jnp.int32(ctx))
+            rows = []
+            tok = int(jnp.argmax(logits[0]))
+            for t in range(dec):
+                lg, cache = llama.decode_step(
+                    params, p, jnp.asarray([tok], jnp.int32), cache,
+                    jnp.asarray([ctx + t], jnp.int32))
+                lf = np.asarray(lg[0], np.float64)
+                m = lf.max()
+                rows.append(lf - m - np.log(np.exp(lf - m).sum()))
+                tok = int(lf.argmax())
+            return np.stack(rows)
+
+        lp_fp, lp4 = run(0), run(4)
+        kl = float((np.exp(lp_fp) * (lp_fp - lp4)).sum(-1).mean())
+        assert kl < 0.05, kl
+
+    def test_chunked_prefill_int4(self):
+        """Chunked prefill reads the packed cache back (unpack path)."""
+        p = LlamaParams.tiny()
+        params = llama.init_params(jax.random.PRNGKey(0), p, dtype=jnp.float32)
+        rng = np.random.default_rng(2)
+        ctx = 32
+        prompt = jnp.asarray(rng.integers(0, p.vocab_size, (1, ctx)).astype(np.int32))
+
+        cache_a = KVCache.create(p, 1, 48, quantized=True, flat=True, kv_bits=4)
+        logits_a, _ = llama.prefill(params, p, prompt, cache_a,
+                                    jnp.int32(0), jnp.int32(ctx))
+        cache_b = KVCache.create(p, 1, 48, quantized=True, flat=True, kv_bits=4)
+        start = jnp.int32(0)
+        for off in range(0, ctx, 16):
+            logits_b, cache_b = llama.prefill_chunk(
+                params, p, prompt[:, off : off + 16], cache_b, jnp.int32(0),
+                jnp.int32(off), jnp.int32(min(16, ctx - off)),
+                jnp.int32(off + 16))
+        # full prefill attends over the UNQUANTIZED in-flight k/v and only
+        # writes the int4 cache; chunked prefill reads the quantized prefix
+        # back — the ~0.03 logit gap IS the int4 read noise, so gate the
+        # decision (argmax) and a loose distance
+        assert int(np.argmax(logits_a)) == int(np.argmax(logits_b))
+        np.testing.assert_allclose(np.asarray(logits_a), np.asarray(logits_b),
+                                   rtol=0.1, atol=0.06)

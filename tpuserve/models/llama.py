@@ -229,15 +229,39 @@ class KVCache:
                 + self.v_scale.size * self.v_scale.dtype.itemsize
         return total
 
+    @property
+    def kv_bits(self) -> int:
+        """8 (int8 or bf16/f32 storage) or 4 (uint8 = packed int4, two
+        codes per byte along the last dim — see pack_kv_codes)."""
+        return 4 if self.k.dtype == jnp.uint8 else 8
+
     @classmethod
     def create(cls, p: LlamaParams, n_slots: int, max_len: int, quantized: bool,
                dtype=jnp.bfloat16, flat: bool = False,
-               scale_dtype=jnp.float32) -> "KVCache":
+               scale_dtype=jnp.float32, kv_bits: int = 8) -> "KVCache":
         if flat:
             shape = (p.n_layers, n_slots, max_len, p.n_kv_heads * p.head_dim)
         else:
             shape = (p.n_layers, n_slots, max_len, p.n_kv_heads, p.head_dim)
         scale_shape = (p.n_layers, n_slots, p.n_kv_heads, max_len)
+        if kv_bits == 4:
+            # packed int4: half the KV bytes of int8 — the decode step is
+            # HBM-bound, so this is a direct step-time lever. Flat-only
+            # (the global split-half pack is defined on the flat W dim);
+            # same per-(pos, head) scales with qmax 7.
+            if not (quantized and flat):
+                raise ValueError("kv_bits=4 requires quantized flat caches")
+            w = p.n_kv_heads * p.head_dim
+            if w % 2:
+                raise ValueError("kv_bits=4 requires an even n_kv_heads*head_dim")
+            shape = shape[:-1] + (w // 2,)
+            return cls(
+                k=jnp.zeros(shape, jnp.uint8),
+                v=jnp.zeros(shape, jnp.uint8),
+                k_scale=jnp.zeros(scale_shape, scale_dtype),
+                v_scale=jnp.zeros(scale_shape, scale_dtype),
+                flat=flat,
+            )
         if quantized:
             # scale_dtype=bfloat16 halves the scale stream the decode kernel
             # reads (config quantization.kv_scale_dtype)
@@ -276,7 +300,10 @@ def _write_slot_kv(cache: KVCache, layer, slot, start, kq, vq, ks, vs) -> KVCach
     into (layer, slot, start..start+C), handling both cache layouts."""
     c = kq.shape[0]
     if cache.flat:
-        kw, vw = kq.reshape(c, -1)[None][None], vq.reshape(c, -1)[None][None]
+        kw, vw = kq.reshape(c, -1), vq.reshape(c, -1)
+        if cache.k.dtype == jnp.uint8:  # packed int4 (see pack_kv_codes)
+            kw, vw = pack_kv_codes(kw), pack_kv_codes(vw)
+        kw, vw = kw[None][None], vw[None][None]
         idx = (layer, slot, start, 0)
     else:
         kw, vw = kq[None][None], vq[None][None]
@@ -323,12 +350,47 @@ def _decode_attn_mode(p: "LlamaParams") -> str:
     return mode
 
 
-def _quantize_kv(x: jax.Array) -> Tuple[jax.Array, jax.Array]:
-    """[..., head_dim] -> int8 values + f32 scale over the last dim."""
+def _quantize_kv(x: jax.Array, qmax: float = 127.0) -> Tuple[jax.Array, jax.Array]:
+    """[..., head_dim] -> int codes + f32 scale over the last dim.
+    qmax 127 = int8 cache; qmax 7 = int4 cache (codes in [-8, 7], packed
+    by the writer via pack_kv_codes)."""
     absmax = jnp.max(jnp.abs(x.astype(jnp.float32)), axis=-1)
-    scale = jnp.maximum(absmax / 127.0, 1e-8)
-    q = jnp.clip(jnp.round(x.astype(jnp.float32) / scale[..., None]), -128, 127).astype(jnp.int8)
+    scale = jnp.maximum(absmax / qmax, 1e-8)
+    q = jnp.clip(jnp.round(x.astype(jnp.float32) / scale[..., None]),
+                 -qmax - 1, qmax).astype(jnp.int8)
     return q, scale
+
+
+def _quantize_kv_cache(cache: "KVCache", x: jax.Array):
+    """_quantize_kv at the cache's own bit width (uint8 storage = packed
+    int4, see pack_kv_codes)."""
+    return _quantize_kv(x, 7.0 if cache.k.dtype == jnp.uint8 else 127.0)
+
+
+def pack_kv_codes(codes: jax.Array) -> jax.Array:
+    """int8 codes in [-8, 7] [..., W] -> packed uint8 [..., W/2], GLOBAL
+    split-half along the last dim: byte lane d holds positions d (lo
+    nibble) and W/2 + d (hi nibble), offset-8. Matches the wide kernel's
+    two-half-dot unpack (ops/decode_attention._unpack_nibbles); unpack+
+    concat restores the original order, so the flat [S, L, W/2] cache is
+    readable on every path."""
+    half = codes.shape[-1] // 2
+    lo = (codes[..., :half].astype(jnp.int32) + 8)
+    hi = (codes[..., half:].astype(jnp.int32) + 8)
+    return (lo | (hi << 4)).astype(jnp.uint8)
+
+
+def unpack_kv_codes(packed: jax.Array) -> jax.Array:
+    """Inverse of pack_kv_codes: uint8 [..., W/2] -> int8 [..., W]."""
+    p32 = packed.astype(jnp.int32)
+    return jnp.concatenate([(p32 & 15) - 8, (p32 >> 4) - 8],
+                           axis=-1).astype(jnp.int8)
+
+
+def _unpack_if_int4(arr: jax.Array) -> jax.Array:
+    """XLA read-path helper: packed int4 cache slices unpack in-graph
+    (uint8 anywhere in a KV read = packed int4)."""
+    return unpack_kv_codes(arr) if arr.dtype == jnp.uint8 else arr
 
 
 # ---------------------------------------------------------------------- blocks
@@ -582,8 +644,8 @@ def prefill(params, p: LlamaParams, tokens: jax.Array, cache: KVCache,
             k = apply_rope(k, cos, sin)
             # write K/V into the slot (whole bucket; invalid tail is masked on read)
             if new_cache.quantized:
-                kq, ks = _quantize_kv(k[0])
-                vq, vs = _quantize_kv(v[0])
+                kq, ks = _quantize_kv_cache(new_cache, k[0])
+                vq, vs = _quantize_kv_cache(new_cache, v[0])
             else:
                 kq, vq, ks, vs = k[0], v[0], None, None
             new_cache = _write_slot_kv(new_cache, layer, slot, 0, kq, vq, ks, vs)
@@ -637,8 +699,8 @@ def prefill_chunk(params, p: LlamaParams, tokens: jax.Array, cache: KVCache,
             q = apply_rope(q, cos, sin)
             k = apply_rope(k, cos, sin)
             if new_cache.quantized:
-                kq, ks = _quantize_kv(k[0])
-                vq, vs = _quantize_kv(v[0])
+                kq, ks = _quantize_kv_cache(new_cache, k[0])
+                vq, vs = _quantize_kv_cache(new_cache, v[0])
             else:
                 kq, vq, ks, vs = k[0], v[0], None, None
             new_cache = _write_slot_kv(new_cache, layer, slot, start, kq, vq, ks, vs)
@@ -646,6 +708,8 @@ def prefill_chunk(params, p: LlamaParams, tokens: jax.Array, cache: KVCache,
             k_all = jax.lax.dynamic_slice_in_dim(new_cache.k[layer], slot, 1, 0)[0, :window]
             v_all = jax.lax.dynamic_slice_in_dim(new_cache.v[layer], slot, 1, 0)[0, :window]
             if new_cache.flat:
+                k_all = _unpack_if_int4(k_all)
+                v_all = _unpack_if_int4(v_all)
                 k_all = k_all.reshape(window, p.n_kv_heads, p.head_dim)
                 v_all = v_all.reshape(window, p.n_kv_heads, p.head_dim)
             n_rep = p.n_heads // p.n_kv_heads
@@ -759,8 +823,8 @@ def verify_step(params, p: LlamaParams, tokens: jax.Array, cache: KVCache,
             k = apply_rope(k, cos_q, sin_q)
 
             if new_cache.quantized:
-                kq, ks = _quantize_kv(k)  # [S, C, Hkv, hd], [S, C, Hkv]
-                vq, vs = _quantize_kv(v)
+                kq, ks = _quantize_kv_cache(new_cache, k)  # [S, C, Hkv, hd], [S, C, Hkv]
+                vq, vs = _quantize_kv_cache(new_cache, v)
                 ks = ks.astype(new_cache.k_scale.dtype)
                 vs = vs.astype(new_cache.v_scale.dtype)
             else:
@@ -769,6 +833,8 @@ def verify_step(params, p: LlamaParams, tokens: jax.Array, cache: KVCache,
                 ks = vs = None
             if new_cache.flat:
                 kq, vq = kq.reshape(s, c, -1), vq.reshape(s, c, -1)
+                if new_cache.k.dtype == jnp.uint8:  # packed int4
+                    kq, vq = pack_kv_codes(kq), pack_kv_codes(vq)
             sidx = slot_idx[:, None]  # [S, 1] broadcasts against pos_c [S, C]
 
             def masked(new, old_arr):
@@ -798,6 +864,11 @@ def verify_step(params, p: LlamaParams, tokens: jax.Array, cache: KVCache,
             if attn_mode == "pallas":
                 if jax.devices()[0].platform == "tpu" and not new_cache.flat:
                     attn_mode = "xla"
+                if new_cache.k.dtype == jnp.uint8:
+                    # multi-candidate kernel has no packed-int4 variant yet;
+                    # the engine disables speculation for int4 caches, this
+                    # covers direct verify_step callers
+                    attn_mode = "xla"
                 from tpuserve.parallel.sharding import active_mesh
 
                 mesh_now = active_mesh()
@@ -822,6 +893,8 @@ def verify_step(params, p: LlamaParams, tokens: jax.Array, cache: KVCache,
             k_all = new_cache.k[layer, :, :win]  # [S, win, ...]
             v_all = new_cache.v[layer, :, :win]
             if new_cache.flat:
+                k_all = _unpack_if_int4(k_all)
+                v_all = _unpack_if_int4(v_all)
                 k_all = k_all.reshape(s, win, p.n_kv_heads, p.head_dim)
                 v_all = v_all.reshape(s, win, p.n_kv_heads, p.head_dim)
             if new_cache.quantized:
@@ -904,8 +977,8 @@ def decode_step(params, p: LlamaParams, tokens: jax.Array, cache: KVCache,
                 return jnp.where(mask, new, old)
 
             if new_cache.quantized:
-                kq, ks = _quantize_kv(k)  # [S, Hkv, hd], [S, Hkv]
-                vq, vs = _quantize_kv(v)
+                kq, ks = _quantize_kv_cache(new_cache, k)  # [S, Hkv, hd], [S, Hkv]
+                vq, vs = _quantize_kv_cache(new_cache, v)
                 ks = ks.astype(new_cache.k_scale.dtype)
                 vs = vs.astype(new_cache.v_scale.dtype)
             else:
@@ -914,6 +987,8 @@ def decode_step(params, p: LlamaParams, tokens: jax.Array, cache: KVCache,
                 ks = vs = None
             if new_cache.flat:
                 kq, vq = kq.reshape(s, -1), vq.reshape(s, -1)  # [S, W] rows
+                if new_cache.k.dtype == jnp.uint8:  # packed int4
+                    kq, vq = pack_kv_codes(kq), pack_kv_codes(vq)
             new_cache = KVCache(
                 k=new_cache.k.at[layer, slot_idx, pos].set(masked(kq.astype(new_cache.k.dtype), new_cache.k)),
                 v=new_cache.v.at[layer, slot_idx, pos].set(masked(vq.astype(new_cache.v.dtype), new_cache.v)),
@@ -937,6 +1012,8 @@ def decode_step(params, p: LlamaParams, tokens: jax.Array, cache: KVCache,
                 if new_cache.flat:
                     # engine forces 5D cache under sp; direct callers with a
                     # flat cache pay the relayout here (documented fallback)
+                    k_l = _unpack_if_int4(k_l)
+                    v_l = _unpack_if_int4(v_l)
                     k_l = k_l.reshape(s, l_max, p.n_kv_heads, p.head_dim)
                     v_l = v_l.reshape(s, l_max, p.n_kv_heads, p.head_dim)
                 out = decode_attention_seq_sharded(
@@ -965,7 +1042,13 @@ def decode_step(params, p: LlamaParams, tokens: jax.Array, cache: KVCache,
 
                 mesh = active_mesh()
                 if mesh is not None and mesh.devices.size > 1:
-                    if can_shard_decode_attention(mesh, s, p.n_kv_heads):
+                    if new_cache.k.dtype == jnp.uint8:
+                        # packed int4 bytes interleave W positions (d,
+                        # W/2+d) — a kv-head W split of the packed array
+                        # would be wrong; the XLA path unpacks first, which
+                        # GSPMD shards correctly
+                        attn_mode = "xla"
+                    elif can_shard_decode_attention(mesh, s, p.n_kv_heads):
                         attn_mesh = mesh
                     else:
                         attn_mode = "xla"
@@ -999,6 +1082,8 @@ def decode_step(params, p: LlamaParams, tokens: jax.Array, cache: KVCache,
                 # tile-crossing relayout (full window copy per layer on TPU)
                 # — acceptable only on this fallback path; the kernel path
                 # above reads the flat cache in place
+                k_all = _unpack_if_int4(k_all)
+                v_all = _unpack_if_int4(v_all)
                 k_all = k_all.reshape(s, win, p.n_kv_heads, p.head_dim)
                 v_all = v_all.reshape(s, win, p.n_kv_heads, p.head_dim)
             if new_cache.quantized:

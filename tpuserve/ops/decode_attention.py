@@ -131,10 +131,21 @@ def _subtile(tile, j, block_l, sc_block):
     return out
 
 
+def _unpack_nibbles(packed):
+    """uint8 [bl, W/2] -> (lo, hi) int8 codes in [-8, 7] (offset-8 encoded;
+    int casts route through int32 per the Mosaic rules). Global split-half
+    along the last dim: byte lane d holds W-positions d (lo) and W/2 + d
+    (hi) — see pack_kv_codes in models/llama.py."""
+    p32 = packed.astype(jnp.int32)
+    lo = ((p32 & 15) - 8).astype(jnp.int8)
+    hi = ((p32 >> 4) - 8).astype(jnp.int8)
+    return lo, hi
+
+
 def _wide_kernel(pos_ref, qw_ref, qs_ref, k_ref, v_ref, ks_ref, vs_ref,
                  o_ref, m_ref, l_ref, acc_ref, qw_scr_ref=None, *, block_l,
                  n_kv, rep, hd, kv_int8, quantized, pos_base=0, sc_block=None,
-                 inline_qw=False):
+                 inline_qw=False, kv_bits=8):
     i = pl.program_id(0)
     j = pl.program_id(1)
     pos = pos_ref[pos_base + i]
@@ -169,7 +180,22 @@ def _wide_kernel(pos_ref, qw_ref, qs_ref, k_ref, v_ref, ks_ref, vs_ref,
     def _compute():
         qw = qw_scr_ref[...] if inline_qw else qw_ref[...]  # [M, W]
         kb = k_ref[...]                       # [bl, W] int8 (or bf16/f32)
-        if kv_int8:
+        if kv_bits == 4:
+            # packed int4 KV: two int8 MXU dots against the unpacked nibble
+            # halves. Q_wide rows are zero outside their head, so the
+            # half-dots sum to the exact per-head q.k regardless of where
+            # W/2 falls relative to head boundaries.
+            w2 = qw.shape[-1] // 2
+            k_lo, k_hi = _unpack_nibbles(kb)  # [bl, W/2] int8 each
+            s = (jax.lax.dot_general(
+                     qw[:, :w2], k_lo, (((1,), (1,)), ((), ())),
+                     preferred_element_type=jnp.int32)
+                 + jax.lax.dot_general(
+                     qw[:, w2:], k_hi, (((1,), (1,)), ((), ())),
+                     preferred_element_type=jnp.int32)
+                 ).astype(jnp.float32)        # [M, bl]
+            s = s * qs_ref[0] * _subtile(_sc_tile(ks_ref), j, block_l, sc_block)
+        elif kv_int8:
             s = jax.lax.dot_general(
                 qw, kb, (((1,), (1,)), ((), ())),
                 preferred_element_type=jnp.int32,
@@ -199,7 +225,20 @@ def _wide_kernel(pos_ref, qw_ref, qs_ref, k_ref, v_ref, ks_ref, vs_ref,
             # V dequant folded at O(M*bl)
             p = p * _subtile(_sc_tile(vs_ref), j, block_l, sc_block)
         vb = v_ref[...]
-        if kv_int8:
+        if kv_bits == 4:
+            pmax = jnp.max(jnp.abs(p), axis=1, keepdims=True)
+            pscale = jnp.maximum(pmax / 127.0, 1e-20)     # [M, 1]
+            pq = jnp.clip(jnp.round(p / pscale), -127, 127).astype(jnp.int8)
+            v_lo, v_hi = _unpack_nibbles(vb)
+            part = jnp.concatenate([
+                jax.lax.dot_general(
+                    pq, v_lo, (((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.int32).astype(jnp.float32),
+                jax.lax.dot_general(
+                    pq, v_hi, (((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.int32).astype(jnp.float32),
+            ], axis=1) * pscale               # [M, W], original W order
+        elif kv_int8:
             # quantize P rows to int8 (SageAttention2-style) so P@V runs on
             # the int8 MXU: the alternative — converting the [bl, W] int8 V
             # block to bf16 — is ~1M VPU elements per block at 7B shapes,
@@ -546,15 +585,28 @@ def decode_attention_wide_cache(
     if interpret is None:
         interpret = jax.devices()[0].platform != "tpu"
     s_dim, n_heads, hd = q.shape
-    if k_full.ndim == 4:  # flat [n_layers, S, L, W]
-        n_layers, _, l_max, w = k_full.shape
+    kv_bits = 4 if k_full.dtype == jnp.uint8 else 8  # uint8 = packed int4
+    wdiv = 2 if kv_bits == 4 else 1
+    if k_full.ndim == 4:  # flat [n_layers, S, L, W] (W/2 bytes when int4)
+        n_layers, _, l_max, w_store = k_full.shape
+        w = w_store * wdiv
         n_kv = w // hd
     else:
         n_layers, _, l_max, n_kv, _ = k_full.shape
         w = n_kv * hd
+        w_store = w // wdiv
     rep = n_heads // n_kv
     quantized = k_scale_l is not None
-    kv_int8 = bool(quantized) and k_full.dtype == jnp.int8
+    kv_int8 = bool(quantized) and k_full.dtype in (jnp.int8, jnp.uint8)
+    if kv_bits == 4:
+        if not quantized:
+            raise ValueError("packed int4 KV requires scales")
+        if k_full.ndim != 4:
+            raise ValueError("packed int4 KV requires the flat cache layout")
+        if (w // 2) % 128 != 0:
+            raise ValueError(
+                f"packed int4 KV needs (n_kv_heads*head_dim)/2 % 128 == 0, "
+                f"got W={w}")
     m_dim = n_heads
 
     win = l_max if window is None else min(int(window), l_max)
@@ -581,8 +633,8 @@ def decode_attention_wide_cache(
                             rep=rep, quantized=quantized, l_win=win)
     m_pad = _pad8(m_dim)  # scale rows are per-slot padded (see _pad8)
 
-    kf = k_full.reshape(n_layers * s_dim * l_max, w)
-    vf = v_full.reshape(n_layers * s_dim * l_max, w)
+    kf = k_full.reshape(n_layers * s_dim * l_max, w_store)
+    vf = v_full.reshape(n_layers * s_dim * l_max, w_store)
     scalars = jnp.concatenate([
         jnp.asarray([layer], jnp.int32).reshape(1),
         positions.astype(jnp.int32),
@@ -592,9 +644,11 @@ def decode_attention_wide_cache(
     # DMA blocks below ~1 MB measured 7% slower than XLA (per-block
     # overhead); packing sb adjacent slots into one [sb*L, W] block
     # restores MB-scale DMAs. Only possible at the full window (slot rows
-    # are contiguous in the flat view iff win == l_max).
+    # are contiguous in the flat view iff win == l_max). The packed-int4
+    # variant of _packed_kernel is not implemented — int4 caches stay on
+    # the L-blocked path (their windows are half the bytes anyway).
     sb = 1
-    if win == l_max:
+    if win == l_max and kv_bits == 8:
         while (sb * 2) <= s_dim and s_dim % (sb * 2) == 0 \
                 and win * w * sb < (1 << 20):
             sb *= 2
@@ -668,9 +722,9 @@ def decode_attention_wide_cache(
                          memory_space=pltpu.VMEM),           # q compact
             pl.BlockSpec((1, m_dim, 1), lambda i, j, *_: (i, 0, 0),
                          memory_space=pltpu.VMEM),           # q scales
-            pl.BlockSpec((block_l, w), kv_index,
+            pl.BlockSpec((block_l, w_store), kv_index,
                          memory_space=pltpu.VMEM),           # K flat (layer off)
-            pl.BlockSpec((block_l, w), kv_index,
+            pl.BlockSpec((block_l, w_store), kv_index,
                          memory_space=pltpu.VMEM),           # V flat
             pl.BlockSpec((m_pad, sc_block if quantized else 1), sc_index,
                          memory_space=pltpu.VMEM),           # K scales [M, sc]
@@ -690,7 +744,7 @@ def decode_attention_wide_cache(
         functools.partial(
             _wide_kernel, block_l=block_l, n_kv=n_kv, rep=rep, hd=hd,
             kv_int8=kv_int8, quantized=quantized, pos_base=1,
-            sc_block=sc_block, inline_qw=True,
+            sc_block=sc_block, inline_qw=True, kv_bits=kv_bits,
         ),
         out_shape=jax.ShapeDtypeStruct((s_dim, m_dim, hd), jnp.float32),
         grid_spec=grid_spec,

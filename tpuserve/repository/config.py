@@ -83,7 +83,7 @@ class QuantizationConfig:
 
     weights: str = "none"  # none | int8 | int4
     group_size: int = 128  # contraction-dim group for scales; 0 = per-channel
-    kv_cache: str = "none"  # none | int8
+    kv_cache: str = "none"  # none | int8 | int4 (packed, flat single-chip)
     activations: str = "none"  # none | int8 (dynamic per-token) | fp8
     # dtype of the INT8 KV cache's per-(pos, head) dequant scales:
     # "bfloat16" (default) halves the scale-stream bytes the decode kernel
@@ -118,7 +118,7 @@ class QuantizationConfig:
                 "quantization.method 'gptq' composes with bf16 activations only")
         if cfg.weights not in ("none", "int8", "int4"):
             raise InvalidArgumentError(f"unsupported weight quantization '{cfg.weights}'")
-        if cfg.kv_cache not in ("none", "int8"):
+        if cfg.kv_cache not in ("none", "int8", "int4"):
             raise InvalidArgumentError(f"unsupported kv_cache quantization '{cfg.kv_cache}'")
         if cfg.activations not in ("none", "int8", "fp8"):
             raise InvalidArgumentError(f"unsupported activation quantization '{cfg.activations}'")

@@ -322,7 +322,18 @@ class GenerationEngine:
                 f"generation.prefill_chunk ({self._chunk_size}) must divide "
                 f"max_seq_len ({self.max_seq_len})"
             )
-        quant_kv = qcfg.kv_cache == "int8"
+        quant_kv = qcfg.kv_cache in ("int8", "int4")
+        kv_bits = 4 if qcfg.kv_cache == "int4" else 8
+        if kv_bits == 4:
+            # packed int4 KV: flat contiguous caches only (pack convention
+            # is defined on the flat W dim; see models/llama.pack_kv_codes)
+            if gen.paged:
+                raise BackendError("kv_cache int4 does not compose with paged")
+            if self.mesh is not None or pp > 1:
+                raise BackendError(
+                    "kv_cache int4 is single-chip (packed W cannot shard)")
+            if (p.n_kv_heads * p.head_dim) % 2:
+                raise BackendError("kv_cache int4 needs even n_kv_heads*head_dim")
         if gen.paged:
             from tpuserve.serving.paged_kv import PagedKVCache, PageTableManager
 
@@ -363,9 +374,11 @@ class GenerationEngine:
             scale_dtype = jnp.bfloat16 \
                 if getattr(qcfg, "kv_scale_dtype", "float32") == "bfloat16" \
                 else jnp.float32
+            if kv_bits == 4:
+                flat = True  # pack convention lives on the flat W dim
             self.cache = KVCache.create(
                 p, self.n_slots, self.max_seq_len, quantized=quant_kv,
-                flat=flat, scale_dtype=scale_dtype,
+                flat=flat, scale_dtype=scale_dtype, kv_bits=kv_bits,
             )
             if self._pp > 1:
                 from tpuserve.parallel.pipeline import shard_cache_pp
