@@ -222,7 +222,9 @@ def main():
 
     out = {
         "metric": f"decode_tokens_per_s_per_chip_int{bits}_{model_name}_bs{n_slots}"
-                  + ("_paged" if paged else ""),
+                  + ("_paged" if paged else "")
+                  + ("_kv4" if (not paged and kv_bits == 4) else ""),
+        "kv_bits": 8 if paged else kv_bits,
         "value": round(tokens_per_s, 1),
         "unit": "tokens/s/chip",
         "vs_baseline": round(tokens_per_s / roofline_tokens, 4),

@@ -1,0 +1,122 @@
+#!/usr/bin/env python3
+"""7B-scale on-chip speculation benchmark (VERDICT r2 #1c).
+
+Runs the GenerationEngine at Llama-2-7B INT4 + INT8 KV on the real chip
+with a REPETITIVE workload (prompt-lookup speculation's favorable case:
+random-init models echo n-gram structure enough for prompt-lookup drafts
+to land) and measures delivered tokens/s with speculation ON vs OFF plus
+the acceptance rate, in ONE process back-to-back (relay weather).
+
+Usage: timeout 3600 python -u scripts/spec_bench.py
+First run compiles the 7B decode + multi-candidate verify graphs
+(up to ~20 min fresh); reruns hit the persistent cache.
+
+Env: TPUSERVE_SPEC_BENCH_{SLOTS,NEW,K} (defaults 8, 192, 8).
+"""
+
+import json
+import os
+import sys
+import tempfile
+import time
+
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/root/repo/.jax_cache")
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import jax
+import numpy as np
+
+jax.config.update("jax_compilation_cache_dir",
+                  os.environ["JAX_COMPILATION_CACHE_DIR"])
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+from tpuserve.repository.config import ModelConfig
+from tpuserve.serving.engine import GenerationEngine
+
+
+def build(root: str, name: str, spec_k: int) -> GenerationEngine:
+    vdir = os.path.join(root, name, "1")
+    os.makedirs(vdir, exist_ok=True)
+    slots = int(os.environ.get("TPUSERVE_SPEC_BENCH_SLOTS", "8"))
+    cfg = {
+        "name": name, "platform": "llm", "architecture": "llama",
+        "inputs": [{"name": "input_ids", "shape": [1, -1], "data_type": "INT32"}],
+        "outputs": [{"name": "output_ids", "shape": [1, -1], "data_type": "INT32"}],
+        "model_params": {"vocab_size": 32000, "dim": 4096, "n_layers": 32,
+                         "n_heads": 32, "n_kv_heads": 32, "head_dim": 128,
+                         "ffn_dim": 11008, "init": "random"},
+        "generation": {"max_seq_len": 512, "max_slots": slots,
+                       "eos_token_id": -1, "max_new_tokens": 256,
+                       "speculation_tokens": spec_k},
+        "quantization": {"weights": "int4", "group_size": 128,
+                         "kv_cache": "int8"},
+    }
+    with open(os.path.join(vdir, "config.json"), "w") as f:
+        json.dump(cfg, f)
+    mc = ModelConfig.from_file(os.path.join(vdir, "config.json"))
+    eng = GenerationEngine(vdir, mc)
+    t0 = time.time()
+    eng.start()
+    print(f"# engine(spec_k={spec_k}) up in {time.time()-t0:.0f}s",
+          file=sys.stderr, flush=True)
+    return eng
+
+
+def drive(eng: GenerationEngine, tag: str) -> dict:
+    """Submit a repetitive prompt per wave and total the delivered
+    tokens/s across two waves (first wave warms compile paths)."""
+    rng = np.random.default_rng(0)
+    period = rng.integers(100, 32000, 12).tolist()
+    prompt = (period * 10)[:96]  # strongly periodic -> prompt-lookup hits
+    new_tokens = int(os.environ.get("TPUSERVE_SPEC_BENCH_NEW", "192"))
+    slots = eng.n_slots
+
+    def wave():
+        import concurrent.futures as cf
+
+        t0 = time.time()
+        with cf.ThreadPoolExecutor(max_workers=slots) as ex:
+            futs = [ex.submit(eng.generate, prompt,
+                              max_new_tokens=new_tokens)
+                    for _ in range(slots)]
+            outs = [f.result() for f in futs]
+        dt = time.time() - t0
+        produced = sum(o["num_generated"] for o in outs)
+        return produced / dt, outs
+
+    wave()  # warm (compile + cache pressure)
+    tps, outs = wave()
+    stats = eng.serving_stats()
+    drafted = stats.get("spec_drafted", 0)
+    accepted = stats.get("spec_accepted", 0)
+    acc = accepted / drafted if drafted else None
+    print(f"# {tag}: {tps:.0f} tok/s delivered"
+          + (f", acceptance {acc:.2f} ({accepted}/{drafted})" if acc is not None else ""),
+          file=sys.stderr, flush=True)
+    return {"tokens_per_s": round(tps, 1), "spec_drafted": int(drafted),
+            "spec_accepted": int(accepted),
+            "acceptance": round(acc, 4) if acc is not None else None}
+
+
+def main():
+    k = int(os.environ.get("TPUSERVE_SPEC_BENCH_K", "8"))
+    with tempfile.TemporaryDirectory() as root:
+        eng_off = build(root, "base7b", 0)
+        off = drive(eng_off, "spec OFF")
+        eng_off.stop()
+        eng_on = build(root, "spec7b", k)
+        on = drive(eng_on, f"spec ON k={k}")
+        eng_on.stop()
+    speedup = on["tokens_per_s"] / off["tokens_per_s"]
+    result = {"metric": "speculation_7b_int4_repetitive",
+              "spec_off": off, "spec_on": on,
+              "speedup": round(speedup, 3)}
+    print(json.dumps(result))
+    if on["spec_drafted"] == 0:
+        print("SPEC_BENCH FAILED: no drafts fired", file=sys.stderr)
+        sys.exit(1)
+    print("SPEC_BENCH DONE", file=sys.stderr)
+
+
+if __name__ == "__main__":
+    main()
