@@ -70,6 +70,56 @@ def main():
 
     states = {}
     for name in mode_names:
+        if name.startswith("paged"):
+            # "paged<ps>": paged pool at page size ps, kernel path, capacity
+            # parity with the contiguous cache, chains pre-grown to the full
+            # window (steady-state decode, like bench.py --paged)
+            from tpuserve.serving.paged_kv import PagedKVCache, PageTableManager
+
+            ps = int(name[5:] or 128)
+            max_pages = -(-max_len // ps)
+            n_pages = n_slots * max_pages + 1
+            env = {"TPUSERVE_DECODE_ATTN": "pallas"}
+            saved = {k: os.environ.get(k) for k in env}
+            os.environ.update(env)
+            try:
+                cache = PagedKVCache.create(
+                    p, n_pages, ps, quantized=True,
+                    flat=llama.preferred_cache_flat(p, max_len))
+                ptm = PageTableManager(n_pages, ps, n_slots, max_len)
+                for s_i in range(n_slots):
+                    ptm.ensure(s_i, max_len)
+                table = ptm.device_table()
+
+                def multistep_paged(params, tokens, cache, positions,
+                                    table=table):
+                    def body(carry, _):
+                        toks, cache, pos = carry
+                        logits, cache = llama.decode_step_paged(
+                            params, p, toks, cache, table, pos)
+                        toks = jnp.argmax(logits, axis=-1).astype(jnp.int32)
+                        return (toks, cache, pos + 1), toks
+
+                    (tokens, cache, positions), out = jax.lax.scan(
+                        body, (tokens, cache, positions), None, length=inner)
+                    return tokens, cache, positions, out
+
+                tokens = jnp.zeros((n_slots,), jnp.int32)
+                positions = jnp.asarray(pos0)
+                fn = jax.jit(multistep_paged, donate_argnums=(2,))
+                t0 = time.time()
+                tokens, cache, positions, _ = fn(params, tokens, cache, positions)
+                np.asarray(tokens)
+                print(f"# {name}: compiled+warm in {time.time()-t0:.0f}s",
+                      file=sys.stderr, flush=True)
+                states[name] = [fn, tokens, cache, positions, []]
+            finally:
+                for k, v in saved.items():
+                    if v is None:
+                        os.environ.pop(k, None)
+                    else:
+                        os.environ[k] = v
+            continue
         if name == "xla":
             env = {"TPUSERVE_DECODE_ATTN": "xla"}
             flat = False
