@@ -109,7 +109,7 @@ def main():
     print(f"# weights materialized: {wbytes/1e9:.2f} GB ({time.time()-t0:.1f}s)", file=sys.stderr)
 
     paged = os.environ.get("TPUSERVE_BENCH_PAGED", "0") == "1"
-    page_size = int(os.environ.get("TPUSERVE_BENCH_PAGE_SIZE", "64"))
+    page_size = int(os.environ.get("TPUSERVE_BENCH_PAGE_SIZE", "128"))  # ps=64 measured 1.24x contiguous (.r3_ab7); 128 = engine default, 1.07x
     page_table = None
     if paged:
         # paged pool with capacity parity to the contiguous cache; every

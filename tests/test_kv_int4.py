@@ -101,6 +101,44 @@ class TestWideCacheInt4:
                 ks, vs, positions, 0, interpret=True)
 
 
+class TestMultiCandidateInt4:
+    def test_multi_kernel_matches_single(self):
+        """C=1 multi-candidate over an int4 cache == the single wide kernel
+        (same math, candidate-major plumbing)."""
+        from tpuserve.ops.decode_attention import decode_attention_wide_cache_multi
+
+        q, ck, cv, ks, vs, positions = _mk_case()
+        kf = pack_kv_codes(jnp.asarray(ck))
+        vf = pack_kv_codes(jnp.asarray(cv))
+        single = decode_attention_wide_cache(
+            q, kf, vf, ks, vs, positions, 1, interpret=True)
+        multi = decode_attention_wide_cache_multi(
+            q[:, None], kf, vf, ks, vs, positions, 1, interpret=True)
+        live = np.asarray(positions) >= 0
+        np.testing.assert_allclose(np.asarray(multi[:, 0])[live],
+                                   np.asarray(single)[live],
+                                   rtol=2e-2, atol=4e-3)
+
+    def test_multi_kernel_candidates_match_reference(self):
+        """C=3 rows see growing causal horizons over the packed cache."""
+        from tpuserve.ops.decode_attention import decode_attention_wide_cache_multi
+
+        cands = 3
+        q1, ck, cv, ks, vs, _ = _mk_case(s_dim=2)
+        rng = np.random.default_rng(7)
+        q = jnp.asarray(rng.normal(size=(2, cands, 8, 128)).astype(np.float32))
+        positions = jnp.asarray([100, 9], jnp.int32)
+        kf = pack_kv_codes(jnp.asarray(ck))
+        vf = pack_kv_codes(jnp.asarray(cv))
+        out = decode_attention_wide_cache_multi(
+            q, kf, vf, ks, vs, positions, 0, interpret=True)
+        for c in range(cands):
+            ref = _xla_ref(np.asarray(q[:, c]), ck, cv, ks, vs,
+                           positions + c, n_kv=4, hd=128, layer=0)
+            np.testing.assert_allclose(np.asarray(out[:, c]), ref,
+                                       rtol=5e-2, atol=8e-3)
+
+
 class TestServingPathInt4:
     def test_decode_close_to_fp_cache(self):
         """Full prefill + decode on flat int4 vs fp32 caches (the XLA read

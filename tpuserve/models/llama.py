@@ -864,11 +864,6 @@ def verify_step(params, p: LlamaParams, tokens: jax.Array, cache: KVCache,
             if attn_mode == "pallas":
                 if jax.devices()[0].platform == "tpu" and not new_cache.flat:
                     attn_mode = "xla"
-                if new_cache.k.dtype == jnp.uint8:
-                    # multi-candidate kernel has no packed-int4 variant yet;
-                    # the engine disables speculation for int4 caches, this
-                    # covers direct verify_step callers
-                    attn_mode = "xla"
                 from tpuserve.parallel.sharding import active_mesh
 
                 mesh_now = active_mesh()

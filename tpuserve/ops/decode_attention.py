@@ -131,15 +131,20 @@ def _subtile(tile, j, block_l, sc_block):
     return out
 
 
-def _unpack_nibbles(packed):
-    """uint8 [bl, W/2] -> (lo, hi) int8 codes in [-8, 7] (offset-8 encoded;
-    int casts route through int32 per the Mosaic rules). Global split-half
-    along the last dim: byte lane d holds W-positions d (lo) and W/2 + d
-    (hi) — see pack_kv_codes in models/llama.py."""
+def _unpack_nibbles(packed, biased=False):
+    """uint8 [bl, W/2] -> (lo, hi) int8 codes (offset-8 encoded; int casts
+    route through int32 per the Mosaic rules). Global split-half along the
+    last dim: byte lane d holds W-positions d (lo) and W/2 + d (hi) — see
+    pack_kv_codes in models/llama.py.
+
+    biased=True returns the RAW unsigned nibbles in [0, 15] (two fewer
+    VPU ops per byte over the full KV stream); callers fold the -8 into
+    the dot algebraically: q.(n - 8) = q.n - 8*rowsum(q)."""
     p32 = packed.astype(jnp.int32)
-    lo = ((p32 & 15) - 8).astype(jnp.int8)
-    hi = ((p32 >> 4) - 8).astype(jnp.int8)
-    return lo, hi
+    lo, hi = p32 & 15, p32 >> 4
+    if not biased:
+        lo, hi = lo - 8, hi - 8
+    return lo.astype(jnp.int8), hi.astype(jnp.int8)
 
 
 def _wide_kernel(pos_ref, qw_ref, qs_ref, k_ref, v_ref, ks_ref, vs_ref,
@@ -184,15 +189,19 @@ def _wide_kernel(pos_ref, qw_ref, qs_ref, k_ref, v_ref, ks_ref, vs_ref,
             # packed int4 KV: two int8 MXU dots against the unpacked nibble
             # halves. Q_wide rows are zero outside their head, so the
             # half-dots sum to the exact per-head q.k regardless of where
-            # W/2 falls relative to head boundaries.
+            # W/2 falls relative to head boundaries. Nibbles stay BIASED
+            # (raw [0, 15] — two fewer VPU ops per byte across the whole
+            # KV stream); q.(n-8) = q.n - 8*rowsum(q), one [M,1] reduce.
             w2 = qw.shape[-1] // 2
-            k_lo, k_hi = _unpack_nibbles(kb)  # [bl, W/2] int8 each
+            k_lo, k_hi = _unpack_nibbles(kb, biased=True)  # [bl, W/2] u4-in-i8
+            qsum = jnp.sum(qw.astype(jnp.int32), axis=1, keepdims=True)
             s = (jax.lax.dot_general(
                      qw[:, :w2], k_lo, (((1,), (1,)), ((), ())),
                      preferred_element_type=jnp.int32)
                  + jax.lax.dot_general(
                      qw[:, w2:], k_hi, (((1,), (1,)), ((), ())),
                      preferred_element_type=jnp.int32)
+                 - 8 * qsum
                  ).astype(jnp.float32)        # [M, bl]
             s = s * qs_ref[0] * _subtile(_sc_tile(ks_ref), j, block_l, sc_block)
         elif kv_int8:
@@ -229,14 +238,15 @@ def _wide_kernel(pos_ref, qw_ref, qs_ref, k_ref, v_ref, ks_ref, vs_ref,
             pmax = jnp.max(jnp.abs(p), axis=1, keepdims=True)
             pscale = jnp.maximum(pmax / 127.0, 1e-20)     # [M, 1]
             pq = jnp.clip(jnp.round(p / pscale), -127, 127).astype(jnp.int8)
-            v_lo, v_hi = _unpack_nibbles(vb)
+            v_lo, v_hi = _unpack_nibbles(vb, biased=True)
+            psum = 8 * jnp.sum(pq.astype(jnp.int32), axis=1, keepdims=True)
             part = jnp.concatenate([
-                jax.lax.dot_general(
+                (jax.lax.dot_general(
                     pq, v_lo, (((1,), (0,)), ((), ())),
-                    preferred_element_type=jnp.int32).astype(jnp.float32),
-                jax.lax.dot_general(
+                    preferred_element_type=jnp.int32) - psum).astype(jnp.float32),
+                (jax.lax.dot_general(
                     pq, v_hi, (((1,), (0,)), ((), ())),
-                    preferred_element_type=jnp.int32).astype(jnp.float32),
+                    preferred_element_type=jnp.int32) - psum).astype(jnp.float32),
             ], axis=1) * pscale               # [M, W], original W order
         elif kv_int8:
             # quantize P rows to int8 (SageAttention2-style) so P@V runs on
@@ -761,7 +771,7 @@ def decode_attention_wide_cache(
 
 def _wide_multi_kernel(pos_ref, qw_ref, qs_ref, k_ref, v_ref, ks_ref, vs_ref,
                        o_ref, m_ref, l_ref, acc_ref, qw_scr_ref, *, block_l,
-                       n_kv, rep, hd, cands, kv_int8, quantized,
+                       n_kv, rep, hd, cands, kv_int8, quantized, kv_bits=8,
                        sc_block=None):
     """Multi-candidate variant of _wide_kernel for speculative verification:
     C candidate tokens per slot score against the SAME cache stream in one
@@ -802,7 +812,21 @@ def _wide_multi_kernel(pos_ref, qw_ref, qs_ref, k_ref, v_ref, ks_ref, vs_ref,
                 tile = tile[:m_base]
             return jnp.concatenate([tile] * cands, axis=0) if cands > 1 else tile
 
-        if kv_int8:
+        if kv_bits == 4:
+            # packed int4: two biased-nibble int8 dots (see _wide_kernel)
+            w2 = qw.shape[-1] // 2
+            k_lo, k_hi = _unpack_nibbles(kb, biased=True)
+            qsum = jnp.sum(qw.astype(jnp.int32), axis=1, keepdims=True)
+            s = (jax.lax.dot_general(
+                     qw[:, :w2], k_lo, (((1,), (1,)), ((), ())),
+                     preferred_element_type=jnp.int32)
+                 + jax.lax.dot_general(
+                     qw[:, w2:], k_hi, (((1,), (1,)), ((), ())),
+                     preferred_element_type=jnp.int32)
+                 - 8 * qsum
+                 ).astype(jnp.float32)
+            s = s * qs_ref[0] * tile_c(_subtile(ks_ref[...], j, block_l, sc_block))
+        elif kv_int8:
             s = jax.lax.dot_general(
                 qw, kb, (((1,), (1,)), ((), ())),
                 preferred_element_type=jnp.int32,
@@ -833,7 +857,21 @@ def _wide_multi_kernel(pos_ref, qw_ref, qs_ref, k_ref, v_ref, ks_ref, vs_ref,
         if quantized:
             p = p * tile_c(_subtile(vs_ref[...], j, block_l, sc_block))
         vb = v_ref[...]
-        if kv_int8:
+        if kv_bits == 4:
+            pmax = jnp.max(jnp.abs(p), axis=1, keepdims=True)
+            pscale = jnp.maximum(pmax / 127.0, 1e-20)
+            pq = jnp.clip(jnp.round(p / pscale), -127, 127).astype(jnp.int8)
+            v_lo, v_hi = _unpack_nibbles(vb, biased=True)
+            psum = 8 * jnp.sum(pq.astype(jnp.int32), axis=1, keepdims=True)
+            part = jnp.concatenate([
+                (jax.lax.dot_general(
+                    pq, v_lo, (((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.int32) - psum).astype(jnp.float32),
+                (jax.lax.dot_general(
+                    pq, v_hi, (((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.int32) - psum).astype(jnp.float32),
+            ], axis=1) * pscale
+        elif kv_int8:
             pmax = jnp.max(jnp.abs(p), axis=1, keepdims=True)
             pscale = jnp.maximum(pmax / 127.0, 1e-20)
             pq = jnp.clip(jnp.round(p / pscale), -127, 127).astype(jnp.int8)
@@ -886,17 +924,28 @@ def decode_attention_wide_cache_multi(
     if interpret is None:
         interpret = jax.devices()[0].platform != "tpu"
     s_dim, cands, n_heads, hd = q.shape
+    kv_bits = 4 if k_full.dtype == jnp.uint8 else 8  # uint8 = packed int4
+    wdiv = 2 if kv_bits == 4 else 1
     if k_full.ndim == 4:
-        n_layers, _, l_max, w = k_full.shape
+        n_layers, _, l_max, w_store = k_full.shape
+        w = w_store * wdiv
         n_kv = w // hd
     else:
         n_layers, _, l_max, n_kv, _ = k_full.shape
         w = n_kv * hd
+        w_store = w // wdiv
     rep = n_heads // n_kv
     m_base = n_heads
     cm = cands * m_base
     quantized = k_scale_l is not None
-    kv_int8 = bool(quantized) and k_full.dtype == jnp.int8
+    kv_int8 = bool(quantized) and k_full.dtype in (jnp.int8, jnp.uint8)
+    if kv_bits == 4:
+        if not quantized or k_full.ndim != 4:
+            raise ValueError("packed int4 KV requires scaled flat caches")
+        if (w // 2) % 128 != 0:
+            raise ValueError(
+                f"packed int4 KV needs (n_kv_heads*head_dim)/2 % 128 == 0, "
+                f"got W={w}")
 
     win = l_max if window is None else min(int(window), l_max)
     if block_l is None:
@@ -918,8 +967,8 @@ def decode_attention_wide_cache_multi(
                             rep=rep, quantized=quantized, l_win=win)
     m_pad = _pad8(m_base)  # scale rows are per-slot padded (see _pad8)
 
-    kf = k_full.reshape(n_layers * s_dim * l_max, w)
-    vf = v_full.reshape(n_layers * s_dim * l_max, w)
+    kf = k_full.reshape(n_layers * s_dim * l_max, w_store)
+    vf = v_full.reshape(n_layers * s_dim * l_max, w_store)
     scalars = jnp.concatenate([
         jnp.asarray([layer], jnp.int32).reshape(1),
         positions.astype(jnp.int32),
@@ -950,9 +999,9 @@ def decode_attention_wide_cache_multi(
                          memory_space=pltpu.VMEM),           # q compact
             pl.BlockSpec((1, cm, 1), lambda i, j, *_: (i, 0, 0),
                          memory_space=pltpu.VMEM),           # q scales
-            pl.BlockSpec((block_l, w), kv_index,
+            pl.BlockSpec((block_l, w_store), kv_index,
                          memory_space=pltpu.VMEM),           # K flat
-            pl.BlockSpec((block_l, w), kv_index,
+            pl.BlockSpec((block_l, w_store), kv_index,
                          memory_space=pltpu.VMEM),           # V flat
             pl.BlockSpec((m_pad, sc_block if quantized else 1), sc_index,
                          memory_space=pltpu.VMEM),           # K scales [M, sc]
@@ -972,7 +1021,7 @@ def decode_attention_wide_cache_multi(
         functools.partial(
             _wide_multi_kernel, block_l=block_l, n_kv=n_kv, rep=rep, hd=hd,
             cands=cands, kv_int8=kv_int8, quantized=quantized,
-            sc_block=sc_block,
+            kv_bits=kv_bits, sc_block=sc_block,
         ),
         out_shape=jax.ShapeDtypeStruct((s_dim, cm, hd), jnp.float32),
         grid_spec=grid_spec,
