@@ -44,7 +44,7 @@ def build(root: str, name: str, spec_k: int) -> GenerationEngine:
         "outputs": [{"name": "output_ids", "shape": [1, -1], "data_type": "INT32"}],
         "model_params": {"vocab_size": 32000, "dim": 4096, "n_layers": 32,
                          "n_heads": 32, "n_kv_heads": 32, "head_dim": 128,
-                         "ffn_dim": 11008, "init": "random"},
+                         "ffn_dim": 11008, "init": "random_quantized"},
         "generation": {"max_seq_len": 512, "max_slots": slots,
                        "eos_token_id": -1, "max_new_tokens": 256,
                        "speculation_tokens": spec_k},

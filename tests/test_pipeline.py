@@ -145,6 +145,45 @@ class TestPipelineTensorParallel:
                                    rtol=2e-3, atol=2e-3)
         assert np.all(np.asarray(pp_d)[3] == 0.0)
 
+    @pytest.mark.parametrize("tp", [1, 2])
+    def test_pp2_dp2_matches_single_device(self, tp):
+        """dp composition: whole-pipeline replicas, slots sharded over
+        "dp", weights replicated — with and without stage-local tp."""
+        quant = 8
+        raw = _params(P4, quant=quant)
+        mesh = make_pipeline_mesh(2, tp, 2)
+        stacked = place_pipeline_params(
+            stack_layer_params(raw, P4, tp=tp), mesh)
+
+        n_slots, max_len = 8, 32
+        mk = lambda: KVCache.create(P4, n_slots, max_len, quantized=True)
+        cache_ref, cache_pp = mk(), mk()
+        from tpuserve.parallel.pipeline import shard_cache_pp
+        cache_pp = shard_cache_pp(cache_pp, mesh)
+
+        # prefill one slot in EACH dp group's range (slots 0-3 / 4-7)
+        for slot in (2, 5):
+            prompt = jnp.asarray([[7, 11, 23, 5, 19, 3]], jnp.int32)
+            ref_l, cache_ref = llama.prefill(raw, P4, prompt, cache_ref,
+                                             jnp.int32(slot), jnp.int32(6))
+            pp_l, cache_pp = jax.jit(
+                lambda pr, t, c, s, ln: pp_prefill(pr, P4, t, c, s, ln, mesh),
+                donate_argnums=(2,))(stacked, prompt, cache_pp,
+                                     jnp.int32(slot), jnp.int32(6))
+            np.testing.assert_allclose(np.asarray(pp_l), np.asarray(ref_l),
+                                       rtol=2e-3, atol=2e-3)
+
+        tokens = jnp.asarray([3, 9, int(jnp.argmax(ref_l[0])), 1,
+                              0, int(jnp.argmax(ref_l[0])), 2, 8], jnp.int32)
+        positions = jnp.asarray([0, 0, 6, -1, 0, 6, -1, 0], jnp.int32)
+        ref_d, _ = llama.decode_step(raw, P4, tokens, cache_ref, positions)
+        pp_d, _ = jax.jit(
+            lambda pr, t, c, pos: pp_decode_step(pr, P4, t, c, pos, mesh),
+            donate_argnums=(2,))(stacked, tokens, cache_pp, positions)
+        np.testing.assert_allclose(np.asarray(pp_d), np.asarray(ref_d),
+                                   rtol=2e-3, atol=2e-3)
+        assert np.all(np.asarray(pp_d)[3] == 0.0)
+
     def test_tp_shuffle_roundtrip(self):
         """Rank-major fused-column shuffle: concatenating every rank's
         slice of [q|k|v] recovers the per-projection splits."""
@@ -214,13 +253,19 @@ class TestPipelineEngine:
             "pipeline_parallel": 2, "tensor_parallel": 2})
         assert ref["output_ids"] == out["output_ids"]
 
+    def test_pp_dp_matches_unsharded(self, tmp_path):
+        """pp=2 x dp=2 generates the same greedy tokens as single-device."""
+        ref = self._gen(tmp_path, "ppdp_solo")
+        out = self._gen(tmp_path, "pp2dp2", sharding={
+            "pipeline_parallel": 2, "data_parallel": 2})
+        assert ref["output_ids"] == out["output_ids"]
+
     def test_pp_rejects_compositions(self, tmp_path):
         from tpuserve.repository.config import ModelConfig
         from tpuserve.serving.engine import GenerationEngine
         from tpuserve.utils.errors import BackendError
 
         cases = [
-            dict(sharding={"pipeline_parallel": 2, "data_parallel": 2}),
             dict(sharding={"pipeline_parallel": 2, "sequence_parallel": 2}),
             # tp composes now, but head counts must divide (n_kv_heads=2)
             dict(sharding={"pipeline_parallel": 2, "tensor_parallel": 4}),

@@ -50,16 +50,24 @@ def make_mesh(tp: int = 1, dp: int = 1, sp: int = 1,
     return Mesh(arr, axis_names=("dp", "tp"))
 
 
-def make_pipeline_mesh(pp: int, tp: int = 1,
+def make_pipeline_mesh(pp: int, tp: int = 1, dp: int = 1,
                        devices: Optional[Sequence] = None) -> Mesh:
-    """("pp",) mesh — or ("pp", "tp") when tp > 1: transformer layers stage
-    over "pp" while each stage's weights/heads shard over "tp" (see
-    parallel/pipeline.py). "tp" is the minor dim so its per-layer psums ride
-    ICI-adjacent links; "pp" activations rotate once per tick (cheap)."""
-    devs = list(devices) if devices is not None else mesh_devices(pp * tp)
+    """("pp",) mesh — or ("pp", "tp") / ("dp", "pp"[, "tp"]): transformer
+    layers stage over "pp"; each stage's weights/heads shard over "tp"
+    (Megatron split, see parallel/pipeline.py); whole pipeline replicas
+    batch-parallel over "dp" (slots shard, weights replicate). "tp" is the
+    minor dim so its per-layer psums ride ICI-adjacent links; "pp"
+    activations rotate once per tick; "dp" is outermost (no per-step
+    collectives cross it)."""
+    devs = list(devices) if devices is not None else mesh_devices(pp * tp * dp)
+    arr = np.array(devs)
+    if dp > 1:
+        names = ("dp", "pp") + (("tp",) if tp > 1 else ())
+        shape = (dp, pp) + ((tp,) if tp > 1 else ())
+        return Mesh(arr.reshape(shape), axis_names=names)
     if tp > 1:
-        return Mesh(np.array(devs).reshape(pp, tp), axis_names=("pp", "tp"))
-    return Mesh(np.array(devs), axis_names=("pp",))
+        return Mesh(arr.reshape(pp, tp), axis_names=("pp", "tp"))
+    return Mesh(arr, axis_names=("pp",))
 
 
 def single_device_mesh() -> Mesh:

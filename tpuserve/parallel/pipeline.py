@@ -247,7 +247,8 @@ def shard_cache_pp(cache: KVCache, mesh: Mesh) -> KVCache:
     """Stage-local KV: the layer (leading) dim shards over "pp"; under a
     ("pp", "tp") mesh the kv-head dim additionally shards over "tp"."""
     tp = int(mesh.shape.get("tp", 1))
-    kv_spec, sc_spec = _cache_specs(cache, tp)
+    dp = int(mesh.shape.get("dp", 1))
+    kv_spec, sc_spec = _cache_specs(cache, tp, dp)
     kv = NamedSharding(mesh, kv_spec)
     sc = NamedSharding(mesh, sc_spec if sc_spec is not None
                        else P("pp", None, None, None))
@@ -260,14 +261,15 @@ def shard_cache_pp(cache: KVCache, mesh: Mesh) -> KVCache:
     )
 
 
-def _cache_specs(cache: KVCache, tp: int = 1) -> Tuple:
+def _cache_specs(cache: KVCache, tp: int = 1, dp: int = 1) -> Tuple:
     nd_kv = cache.k.ndim
     h_ax = "tp" if tp > 1 else None
+    d_ax = "dp" if dp > 1 else None
     if nd_kv == 5:  # [lp, S, L, Hkv, hd] (pp islands read the 5D layout)
-        kv = P("pp", None, None, h_ax, None)
+        kv = P("pp", d_ax, None, h_ax, None)
     else:           # flat [lp, S, L, W]: W splits on head boundaries
-        kv = P("pp", None, None, h_ax)
-    sc = P("pp", None, h_ax, None) if cache.quantized else None  # [lp,S,Hkv,L]
+        kv = P("pp", d_ax, None, h_ax)
+    sc = P("pp", d_ax, h_ax, None) if cache.quantized else None  # [lp,S,Hkv,L]
     return kv, sc
 
 
@@ -292,10 +294,12 @@ def pp_decode_step(params: Dict, p: LlamaParams, tokens: jax.Array,
     col/row split; one psum per wo and per w_down, riding minor-axis ICI)."""
     pp = int(mesh.shape["pp"])
     tp = int(mesh.shape.get("tp", 1))
+    dp = int(mesh.shape.get("dp", 1))
     p_loc = _local_params(p, tp)
     lp = p.n_layers // pp
     s_dim = int(tokens.shape[0])
-    mb = s_dim // pp
+    s_loc = s_dim // dp  # per-dp-replica slots (the island's local view)
+    mb = s_loc // pp
     l_max = cache.max_len
     win = l_max if window is None else min(int(window), l_max)
     quantized = cache.quantized
@@ -309,14 +313,14 @@ def pp_decode_step(params: Dict, p: LlamaParams, tokens: jax.Array,
     spec_tree_shared = {k: (dataclasses.replace(v, q=P(), scale=P())
                             if isinstance(v, QTensor) else P())
                         for k, v in shared.items()}
-    kv_spec, sc_spec = _cache_specs(cache, tp)
+    kv_spec, sc_spec = _cache_specs(cache, tp, dp)
     from jax.experimental.shard_map import shard_map
 
     def island(stk, shr, toks, pos, k_c, v_c, ks_c, vs_c):
         stage = jax.lax.axis_index("pp")
         dtype = shr["embed/weight"].dtype
         x = jnp.zeros((mb, p.dim), dtype)
-        xs_final = jnp.zeros((s_dim, p.dim), dtype)
+        xs_final = jnp.zeros((s_loc, p.dim), dtype)
         for t in range(2 * pp - 1):  # static pipeline schedule
             mb_idx = t - stage                       # resident microbatch
             valid = (mb_idx >= 0) & (mb_idx < pp)
@@ -404,9 +408,11 @@ def pp_decode_step(params: Dict, p: LlamaParams, tokens: jax.Array,
     args = (stacks, shared, tokens, positions, cache.k, cache.v,
             cache.k_scale if quantized else jnp.zeros((), jnp.float32),
             cache.v_scale if quantized else jnp.zeros((), jnp.float32))
-    in_specs = (spec_tree_stacks, spec_tree_shared, P(), P(), kv_spec, kv_spec,
+    d_ax = "dp" if dp > 1 else None
+    in_specs = (spec_tree_stacks, spec_tree_shared, P(d_ax), P(d_ax),
+                kv_spec, kv_spec,
                 sc_spec if quantized else P(), sc_spec if quantized else P())
-    out_specs = (P(), kv_spec, kv_spec,
+    out_specs = (P(d_ax), kv_spec, kv_spec,
                  sc_spec if quantized else P(), sc_spec if quantized else P())
     logits, k_c, v_c, ks_c, vs_c = shard_map(
         island, mesh=mesh, in_specs=in_specs, out_specs=out_specs,
@@ -428,9 +434,11 @@ def pp_prefill(params: Dict, p: LlamaParams, tokens: jax.Array,
     real tokens; returns (logits [1, V] at length-1, cache)."""
     pp = int(mesh.shape["pp"])
     tp = int(mesh.shape.get("tp", 1))
+    dp = int(mesh.shape.get("dp", 1))
     p_loc = _local_params(p, tp)
     lp = p.n_layers // pp
     b, c = tokens.shape
+    s_loc = cache.n_slots // dp  # slots per dp replica (local cache view)
     quantized = cache.quantized
 
     stack_keys = [k for k in params if k.startswith(_STACK)]
@@ -441,11 +449,19 @@ def pp_prefill(params: Dict, p: LlamaParams, tokens: jax.Array,
     spec_tree_shared = {k: (dataclasses.replace(v, q=P(), scale=P())
                             if isinstance(v, QTensor) else P())
                         for k, v in shared.items()}
-    kv_spec, sc_spec = _cache_specs(cache, tp)
+    kv_spec, sc_spec = _cache_specs(cache, tp, dp)
     from jax.experimental.shard_map import shard_map
 
     def island(stk, shr, toks, slot_, length_, k_c, v_c, ks_c, vs_c):
         stage = jax.lax.axis_index("pp")
+        # under dp the cache's slot dim is sharded: only the dp replica
+        # owning `slot_` writes (activations/logits are identical on every
+        # replica — tokens and weights replicate over "dp")
+        if dp > 1:
+            own = jax.lax.axis_index("dp") == slot_ // s_loc
+            slot_ = jax.lax.rem(slot_, s_loc)
+        else:
+            own = jnp.bool_(True)
         x = shr["embed/weight"][toks]  # [1, C, D] (meaningful on stage 0)
         positions = jnp.arange(c, dtype=jnp.int32)[None, :]
         cos, sin = rope_cos_sin(positions, p.head_dim, p.rope_theta)
@@ -478,7 +494,7 @@ def pp_prefill(params: Dict, p: LlamaParams, tokens: jax.Array,
                         old = jax.lax.dynamic_slice(
                             old_arr[ll], (slot_,) + (0,) * (old_arr.ndim - 2),
                             (1,) + new.shape)[0]
-                        return jnp.where(valid, new, old)
+                        return jnp.where(valid & own, new, old)
 
                     def put(arr, new):
                         return jax.lax.dynamic_update_slice(

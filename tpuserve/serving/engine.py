@@ -207,9 +207,26 @@ class GenerationEngine:
 
     def start(self) -> None:
         p = self.p
-        raw = llama.fuse_params(self._load_params(), p)
         qcfg = self.config.quantization
         bits = _QUANT_BITS.get(qcfg.weights)
+        init_mode = str(self.config.model_params.get("init", "")).lower()
+        if init_mode == "random_quantized":
+            # bench/fixture path for models too big to init in bf16 first:
+            # generate already-quantized weights directly on device (a 7B
+            # bf16 init is 13.5 GB — it does not fit HBM next to its own
+            # INT4 copy on a 16 GB chip; see models/llama_bench.py)
+            if bits is None:
+                raise BackendError(
+                    "model_params.init 'random_quantized' requires "
+                    "quantization.weights int8/int4")
+            from tpuserve.models.llama_bench import init_quantized_params
+
+            params = init_quantized_params(
+                jax.random.PRNGKey(42), p, bits=bits,
+                group_size=qcfg.group_size)
+            self._finish_start(params)
+            return
+        raw = llama.fuse_params(self._load_params(), p)
         if bits is not None:
             def pred(name, arr):
                 # 2-D projections + stacked 3-D MoE expert weights; the
@@ -229,6 +246,11 @@ class GenerationEngine:
                 )
         else:
             params = raw
+        self._finish_start(params)
+
+    def _finish_start(self, params) -> None:
+        p = self.p
+        qcfg = self.config.quantization
         # multi-chip placement per config.sharding (TP x DP [x SP]
         # NamedShardings; XLA inserts the collectives). 1x1 = plain
         # single-device put.
@@ -239,13 +261,14 @@ class GenerationEngine:
         self._pp = 1
         if pp > 1:
             # layer pipeline (capacity scaling); composes with tensor
-            # parallelism (stage-local Megatron split) — see
-            # parallel/pipeline.py for the design + the documented
-            # weight-reread tradeoff. dp/sp stay exclusive.
+            # parallelism (stage-local Megatron split) and data parallelism
+            # (whole-pipeline replicas, slots sharded over "dp") — see
+            # parallel/pipeline.py. sp stays exclusive.
             tp_pp = int(shard.tensor_parallel)
-            if shard.data_parallel * sp > 1:
+            dp_pp = int(shard.data_parallel)
+            if sp > 1:
                 raise BackendError(
-                    "pipeline_parallel is exclusive with dp/sp (v2 composes tp)")
+                    "pipeline_parallel is exclusive with sequence_parallel")
             if self.config.generation.paged:
                 raise BackendError("pipeline_parallel does not compose with paged KV")
             if self._chunk_size > 0:
@@ -254,9 +277,10 @@ class GenerationEngine:
             if p.n_layers % pp != 0:
                 raise BackendError(
                     f"n_layers {p.n_layers} must divide by pipeline_parallel {pp}")
-            if self.n_slots % pp != 0:
+            if self.n_slots % (pp * dp_pp) != 0:
                 raise BackendError(
-                    f"max_slots {self.n_slots} must divide by pipeline_parallel {pp}")
+                    f"max_slots {self.n_slots} must divide by "
+                    f"pipeline_parallel*data_parallel {pp * dp_pp}")
             if tp_pp > 1 and (p.n_kv_heads % tp_pp or p.n_heads % tp_pp
                               or p.ffn_dim % tp_pp):
                 raise BackendError(
@@ -270,7 +294,7 @@ class GenerationEngine:
             from tpuserve.parallel.pipeline import (
                 place_pipeline_params, stack_layer_params)
 
-            self.mesh = make_pipeline_mesh(pp, tp_pp)
+            self.mesh = make_pipeline_mesh(pp, tp_pp, dp_pp)
             self._pp = pp
             self.params = place_pipeline_params(
                 stack_layer_params(params, p, tp=tp_pp), self.mesh)
