@@ -47,7 +47,12 @@ def build(root: str, name: str, spec_k: int) -> GenerationEngine:
                          "ffn_dim": 11008, "init": "random_quantized"},
         "generation": {"max_seq_len": 512, "max_slots": slots,
                        "eos_token_id": -1, "max_new_tokens": 256,
-                       "speculation_tokens": spec_k},
+                       "speculation_tokens": spec_k,
+                       # compile-surface knob: horizon>1 compiles a full-7B
+                       # H-step scan per distinct horizon (~20 min fresh);
+                       # diagnostics pin it to 1
+                       "decode_horizon": int(os.environ.get(
+                           "TPUSERVE_SPEC_BENCH_HORIZON", "4"))},
         "quantization": {"weights": "int4", "group_size": 128,
                          "kv_cache": "int8"},
     }
