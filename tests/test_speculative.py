@@ -113,6 +113,32 @@ class TestPromptLookup:
         prop = eng._propose_lookup(st, k=3, n=3)
         assert prop == [4, 5, 1]  # [1,2,3] recurs at the start; continue it
 
+    def test_proposer_prefers_match_with_full_continuation(self):
+        # Repetitive tail: the MOST RECENT occurrence of the trailing
+        # n-gram abuts the end of the sequence (1 token of continuation);
+        # the proposer must instead copy from an earlier occurrence that
+        # has a full k-token continuation, else every verify dispatch
+        # delivers ~2 tokens and speculation loses (.r3_spec_bench.log).
+        from tpuserve.serving.engine import GenerationEngine, Request, _SlotState
+
+        period = [7, 8, 9, 10, 11, 12]
+        hist = period * 5  # trailing [10,11,12] recurs every 6 tokens
+        req = Request(prompt_ids=list(hist), max_new_tokens=8)
+        st = _SlotState(request=req, next_pos=len(hist), generated=0,
+                        last_token=hist[-1])
+        eng = GenerationEngine.__new__(GenerationEngine)
+        prop = eng._propose_lookup(st, k=5, n=3)
+        assert prop == [7, 8, 9, 10, 11]  # full k, not the 0-token tail match
+
+    def test_proposer_falls_back_to_longest_continuation(self):
+        from tpuserve.serving.engine import GenerationEngine, Request, _SlotState
+
+        # only one (short-continuation) match exists -> still propose it
+        req = Request(prompt_ids=[1, 2, 3, 4, 1, 2, 3], max_new_tokens=8)
+        st = _SlotState(request=req, next_pos=7, generated=0, last_token=3)
+        eng = GenerationEngine.__new__(GenerationEngine)
+        assert eng._propose_lookup(st, k=5, n=3) == [4, 1, 2, 3]
+
     def test_proposer_no_match(self):
         from tpuserve.serving.engine import GenerationEngine, Request, _SlotState
 

@@ -929,7 +929,16 @@ class GenerationEngine:
         hits = np.nonzero((win == pat).all(axis=1))[0]
         if len(hits) == 0:
             return []
-        j = int(hits[-1])
+        # Prefer the most recent occurrence that still has a full k-token
+        # continuation to copy. Picking hits[-1] unconditionally is a trap:
+        # on repetitive text the latest match abuts the sequence tail and
+        # yields a 0-1 token draft, so every verify dispatch delivers ~2
+        # tokens and speculation runs SLOWER than plain decode (measured
+        # 0.48x in .r3_spec_bench.log). Fall back to the longest available
+        # continuation when no match has k tokens after it.
+        avail = len(arr) - (hits + n)
+        full = hits[avail >= k]
+        j = int(full[-1]) if len(full) else int(hits[np.argmax(avail)])
         return [int(t) for t in arr[j + n : j + n + k]]
 
     def _spec_step(self, active, positions, tokens, spec_k: int) -> bool:
