@@ -14,10 +14,12 @@ Device layout:
   page table:      [S, max_pages_per_slot] int32, -1 = unallocated; page 0
                    is reserved as the zero page that -1 entries map to.
 
-Reads materialize the gathered view [S, P*page_size, Hkv, hd] per layer —
-the allocation win is capacity, and the gather costs one extra HBM pass
-over the live window (documented tradeoff; the contiguous layout remains
-the throughput default). Enable per model with
+Reads stream pages from the pool IN PLACE: the paged wide kernel
+(ops/decode_attention.py::decode_attention_wide_paged) rides the page
+table through the scalar-prefetch channel, so there is no gather pass.
+Measured cost vs the contiguous layout is ~6.5-7% at page_size>=128
+(scattered-page DMA locality — see STATUS.md round-3 sweep); the
+contiguous layout remains the throughput default. Enable per model with
 config.generation.paged = true.
 """
 
