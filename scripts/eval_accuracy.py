@@ -337,6 +337,109 @@ def evaluate_outliers(size: str, samples: int, seed: int) -> dict:
     }
 
 
+def evaluate_anisotropic(size: str, samples: int, seed: int) -> dict:
+    """The int4 HEADLINE accuracy gate, on a checkpoint where it can be
+    both passed and failed (VERDICT r3 #2).
+
+    Isotropic random-init is the worst case for low-bit quantization:
+    every quantizer ties at a KL floor (~0.16 nat at int4-g128 on
+    llama_1b) far above the 0.02-nat gate, so the gate was unfalsifiably
+    failing for every method. models/synthetic.py synthesizes the
+    trained-checkpoint structure that makes int4 serving viable in
+    practice — a low-rank residual subspace (activation anisotropy),
+    massive embedding channels, heavy-tailed input-row weight scales —
+    and on it the quantizers SEPARATE:
+
+        int4 RTN        fails the gate (absmax groups crushed by tails)
+        int4 clip-search fails (better scales, same uncompensated error)
+        int4 GPTQ       passes (Hessian-weighted error compensation puts
+                        quantization error into directions the activation
+                        covariance says don't matter)
+
+    All on the REAL serving path (QTensor + fused dequant kernels via
+    Llama.apply). Gate: GPTQ int4-g128 KL <= 0.02 nat AND RTN int4 KL >
+    0.02 (the separation is part of the claim: the gate must be earned by
+    calibration, not granted by an easy checkpoint).
+    """
+    import jax
+    import jax.numpy as jnp
+
+    from tpuserve.models.llama import Llama, LlamaParams
+    from tpuserve.models.synthetic import init_params_anisotropic
+    from tpuserve.quant.core import quantize
+
+    sizes = {
+        "llama_1b": LlamaParams(vocab_size=32000, dim=2048, n_layers=16,
+                                n_heads=16, n_kv_heads=16, head_dim=128,
+                                ffn_dim=5504),
+        "llama_400m": LlamaParams(vocab_size=32000, dim=1024, n_layers=8,
+                                  n_heads=8, n_kv_heads=8, head_dim=128,
+                                  ffn_dim=2816),
+        "tiny": LlamaParams.tiny(),
+    }
+    p = sizes[size]
+    params_fp = init_params_anisotropic(jax.random.PRNGKey(seed), p)
+
+    arch = Llama.__new__(Llama)
+    arch.params_cfg = {k: getattr(p, k) for k in (
+        "vocab_size", "dim", "n_layers", "n_heads", "n_kv_heads", "head_dim",
+        "ffn_dim", "rope_theta", "rms_eps", "tie_embeddings")}
+
+    rng = np.random.default_rng(seed)
+    n_seq = max(1, samples // 16)
+    tokens = rng.integers(0, p.vocab_size, (n_seq, 64)).astype(np.int32)
+
+    def logprobs(params):
+        out = arch.apply(params, {"input_ids": jnp.asarray(tokens)})
+        logits = np.asarray(out["logits"], np.float64)[:, :-1, :]
+        m = logits.max(-1, keepdims=True)
+        return logits - m - np.log(np.exp(logits - m).sum(-1, keepdims=True))
+
+    lp_fp = logprobs(params_fp)
+
+    def kl_of(params):
+        lp = logprobs(params)
+        return float((np.exp(lp_fp) * (lp_fp - lp)).sum(-1).mean())
+
+    def qtree(bits, clip_search):
+        out = {}
+        for name, w in params_fp.items():
+            if w.ndim == 2 and name.endswith("kernel"):
+                out[name] = quantize(w, bits=bits, group_size=128,
+                                     clip_search=clip_search)
+            else:
+                out[name] = w
+        return out
+
+    kl_int8 = kl_of(qtree(8, False))
+    kl_rtn = kl_of(qtree(4, False))
+    kl_clip = kl_of(qtree(4, True))
+
+    from tpuserve.quant.gptq import collect_and_quantize_llama
+
+    crng = np.random.default_rng(seed + 10_000)
+    calib = crng.integers(0, p.vocab_size, (64, 256)).astype(np.int32)
+    kl_gptq = kl_of(collect_and_quantize_llama(
+        params_fp, p, calib, bits=4, group_size=128))
+    gate = 0.02
+    return {
+        "mode": "synthetic_anisotropic",
+        "size": size,
+        "structure": "low-rank residual subspace (rank dim/16, leak 0.08) + "
+                     "1% massive embed channels x10 + 1% lognormal(ln 6, .5) "
+                     "input-row weight tails (models/synthetic.py)",
+        "samples": samples,
+        "kl_int8_g128": round(kl_int8, 6),
+        "kl_int4_rtn": round(kl_rtn, 6),
+        "kl_int4_clip_search": round(kl_clip, 6),
+        "kl_int4_gptq": round(kl_gptq, 6),
+        "gptq_vs_rtn_ratio": round(kl_gptq / kl_rtn if kl_rtn > 0 else 1.0, 4),
+        "gate": "gptq int4-g128 KL <= 0.02 nat AND rtn int4 KL > 0.02 "
+                "(separation required)",
+        "gate_pass": bool(kl_gptq <= gate and kl_rtn > gate),
+    }
+
+
 def evaluate_kv_long(size: str, ctx: int, samples: int, seed: int) -> dict:
     """Long-context INT8-KV drift (VERDICT r2 #8): prefill `ctx` tokens
     (default 2032 -> window 2048), then decode greedily reading the whole
@@ -511,6 +614,11 @@ def main():
     ap.add_argument("--outlier-eval", default="",
                     help="int4 clip-search stress on outlier-injected weights: "
                          "size name (llama_1b|tiny)")
+    ap.add_argument("--anisotropic-eval", default="",
+                    help="int4 HEADLINE gate on an anisotropic synthetic "
+                         "checkpoint (models/synthetic.py): size name "
+                         "(llama_1b|llama_400m|tiny); RTN must fail and "
+                         "GPTQ must pass the 0.02-nat KL gate")
     ap.add_argument("--kv-long-eval", default="",
                     help="long-context int8-KV drift: size name "
                          "(llama_200m|tiny); see --ctx")
@@ -531,7 +639,10 @@ def main():
         import jax
         jax.config.update("jax_platforms", args.platform)  # sitecustomize overrides env vars
 
-    if args.outlier_eval:
+    if args.anisotropic_eval:
+        result = evaluate_anisotropic(args.anisotropic_eval, args.samples,
+                                      args.seed)
+    elif args.outlier_eval:
         result = evaluate_outliers(args.outlier_eval, args.samples, args.seed)
     elif args.kv_long_eval:
         result = evaluate_kv_long(args.kv_long_eval, args.ctx, args.samples,

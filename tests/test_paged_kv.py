@@ -425,3 +425,86 @@ class TestPagedChunkedPrefill:
         eng = GenerationEngine(vd, ModelConfig.from_file(os.path.join(vd, "config.json")))
         with pytest.raises(BackendError):
             eng.start()
+
+
+class TestRunAffineAllocation:
+    """Round-4 allocation policy: chains should be physically contiguous
+    (native/src/kv_allocator.cpp policy; _PyKvAllocator mirrors it).
+    Scattered chains cost ~7% decode throughput (STATUS.md r3 sweep)."""
+
+    @staticmethod
+    def _n_runs(chain):
+        return 1 + sum(1 for a, b in zip(chain, chain[1:]) if b != a + 1)
+
+    @staticmethod
+    def _py_alloc(n_pages, page_size):
+        from tpuserve.serving.paged_kv import _PyKvAllocator
+
+        return _PyKvAllocator(n_pages, page_size)
+
+    def _allocators(self, n_pages, page_size):
+        out = [self._py_alloc(n_pages, page_size)]
+        from tpuserve.bindings import native
+
+        if native.available():
+            out.append(native.NativeKvAllocator(n_pages, page_size))
+        return out
+
+    def test_bulk_allocation_is_one_run(self):
+        for alloc in self._allocators(64, 16):
+            for s in range(4):
+                assert alloc.ensure(s, 16 * 8)  # 8 pages at once
+            for s in range(4):
+                chain = alloc.page_table(s)
+                assert self._n_runs(chain) == 1, (type(alloc).__name__, chain)
+
+    def test_interleaved_growth_stays_contiguous(self):
+        # the decode steady state: slots cross page boundaries one page at
+        # a time, staggered — soft tail reservations keep each chain in
+        # few (not n_pages) physical runs
+        for alloc in self._allocators(256, 16):
+            for step in range(1, 13):
+                for s in range(4):
+                    assert alloc.ensure(s, 16 * step)
+            for s in range(4):
+                chain = alloc.page_table(s)
+                assert len(chain) == 12
+                assert self._n_runs(chain) <= 3, (type(alloc).__name__, chain)
+
+    def test_reservations_are_soft(self):
+        # reservations must not block allocation when the pool is tight:
+        # seq 0 takes 2 pages (reserving a continuation), seq 1 must still
+        # be able to take every remaining page
+        for alloc in self._allocators(8, 16):
+            assert alloc.ensure(0, 32)  # 2 pages + soft reservation
+            assert alloc.free_pages == 6
+            assert alloc.ensure(1, 16 * 6)  # all 6 remaining
+            assert alloc.free_pages == 0
+            assert len(alloc.page_table(1)) == 6
+
+    def test_native_matches_python_exactly(self):
+        from tpuserve.bindings import native
+
+        if not native.available():
+            pytest.skip("native lib not built")
+        py = self._py_alloc(128, 16)
+        nat = native.NativeKvAllocator(128, 16)
+        rng = np.random.default_rng(7)
+        sizes = {}
+        for it in range(300):
+            op = rng.integers(0, 10)
+            seq = int(rng.integers(0, 8))
+            if op < 7:
+                sizes[seq] = sizes.get(seq, 0) + int(rng.integers(1, 40))
+                rp, rn = py.ensure(seq, sizes[seq]), nat.ensure(seq, sizes[seq])
+                assert rp == rn, (it, seq, sizes[seq])
+                if not rp:
+                    sizes.pop(seq)
+                    py.release(seq)
+                    nat.release(seq)
+            else:
+                sizes.pop(seq, None)
+                assert py.release(seq) == nat.release(seq)
+            assert py.free_pages == nat.free_pages, it
+        for seq in sizes:
+            assert py.page_table(seq) == list(nat.page_table(seq)), seq
