@@ -579,3 +579,86 @@ class TestMultiCandidateKernel:
         ref = run("xla")
         out = run("pallas")
         np.testing.assert_allclose(out[0], ref[0], rtol=5e-2, atol=5e-2)
+
+
+class TestFusedSpeculation:
+    """Round-4 fused multi-round speculation (speculation_rounds > 1):
+    on-device drafting (llama.draft_lookup) + a lax.scan of verify rounds
+    per dispatch (engine spec_multi_fn)."""
+
+    _gen = TestSpeculativeEngine._gen
+
+    def test_device_draft_matches_host_proposer(self):
+        """llama.draft_lookup must reproduce _propose_lookup's match
+        choice (rightmost full-continuation, else longest-continuation)
+        over randomized low-vocab histories."""
+        import jax
+        import jax.numpy as jnp
+
+        from tpuserve.models.llama import draft_lookup
+        from tpuserve.serving.engine import GenerationEngine, Request, _SlotState
+
+        rng = np.random.default_rng(3)
+        L, S, n, k = 80, 8, 3, 4
+        jl = jax.jit(draft_lookup, static_argnums=(2, 3))
+        for _ in range(20):
+            hist = np.zeros((S, L), np.int32)
+            lens = rng.integers(1, L, S).astype(np.int32)
+            for s in range(S):
+                hist[s, :lens[s]] = rng.integers(0, rng.integers(2, 7), lens[s])
+            d, keff = jl(jnp.asarray(hist), jnp.asarray(lens), n, k,
+                         jnp.full((S,), k, np.int32))
+            d, keff = np.asarray(d), np.asarray(keff)
+            eng = GenerationEngine.__new__(GenerationEngine)
+            for s in range(S):
+                req = Request(prompt_ids=hist[s, :lens[s]].tolist(),
+                              max_new_tokens=1)
+                st = _SlotState(request=req, next_pos=lens[s] - 1,
+                                generated=0, last_token=int(hist[s, lens[s] - 1]))
+                want = eng._propose_lookup(st, k=k, n=n)
+                assert d[s, :keff[s]].tolist() == want, (s, hist[s, :lens[s]])
+
+    def test_fused_rounds_match_single_round_and_plain(self, tmp_path):
+        prompt = [5, 9, 13] * 6
+        ref, _ = self._gen(tmp_path, "fz_ref", prompt, 24)
+        one, s1 = self._gen(tmp_path, "fz_one", prompt, 24,
+                            speculation_tokens=4, speculation_rounds=1)
+        fz, s4 = self._gen(tmp_path, "fz_four", prompt, 24,
+                           speculation_tokens=4, speculation_rounds=4)
+        assert fz["output_ids"] == ref["output_ids"]
+        assert one["output_ids"] == ref["output_ids"]
+        assert s4.get("spec_drafted", 0) > 0
+
+    def test_random_prompt_never_drafts(self, tmp_path):
+        """The O(1) n-gram gate: a match-free history must not pay a
+        verify dispatch at all."""
+        prompt = [7, 21, 3, 44, 8, 100, 62, 115, 31]
+        out, stats = self._gen(tmp_path, "fz_rand", prompt, 16,
+                               speculation_tokens=4, speculation_rounds=4)
+        ref, _ = self._gen(tmp_path, "fz_rand_ref", prompt, 16)
+        assert out["output_ids"] == ref["output_ids"]
+
+    def test_break_even_guard_disables_drafting(self, tmp_path):
+        """speculation_min_gain above any achievable expected gain must
+        suppress fused dispatches (except 1-in-16 probes) while keeping
+        outputs exact."""
+        prompt = [5, 9, 13] * 6
+        ref, _ = self._gen(tmp_path, "fz_gref", prompt, 16)
+        out, stats = self._gen(tmp_path, "fz_guard", prompt, 16,
+                               speculation_tokens=4, speculation_rounds=4,
+                               speculation_min_gain=1e9)
+        assert out["output_ids"] == ref["output_ids"]
+        # 16 tokens at horizon<=4: well under 16 spec attempts, so the
+        # probe never fires and nothing is drafted
+        assert stats.get("spec_drafted", 0) == 0
+
+    def test_fused_respects_capacity_and_eos(self, tmp_path):
+        """Sequences that hit max_seq_len / max_new inside a fused burst
+        must truncate exactly like plain decode."""
+        prompt = [5, 9, 13] * 6
+        ref, _ = self._gen(tmp_path, "fz_cref", prompt, 40)
+        out, _ = self._gen(tmp_path, "fz_cap", prompt, 40,
+                           speculation_tokens=4, speculation_rounds=4)
+        assert out["output_ids"] == ref["output_ids"]
+        assert out["finish_reason"] == ref["finish_reason"]
+        assert out["num_generated"] == ref["num_generated"]

@@ -774,6 +774,54 @@ def _gqa_decode_attention(q, k_all, v_all, k_scale, v_scale, read_mask,
     return out.astype(out_dtype).reshape(s, p.n_heads * p.head_dim)
 
 
+def draft_lookup(hist: jax.Array, seq_lens: jax.Array, n: int, k: int,
+                 k_cap: jax.Array):
+    """On-device prompt-lookup drafting (speculative decoding).
+
+    Device port of GenerationEngine._propose_lookup's host semantics so
+    that drafting can run INSIDE a fused multi-round speculation dispatch
+    (the host version costs an O(S*L) numpy scan plus a host round-trip
+    per single verify — serving/engine.py round-4 notes).
+
+    hist [S, L] int32 — right-padded token history per slot (prompt +
+    generated, including the uncommitted last token); seq_lens [S] —
+    valid tokens per row; n/k static (n-gram length, max draft length);
+    k_cap [S] int32 — per-slot dynamic draft cap (capacity/room bound).
+
+    Match rule (identical to the host): the trailing n-gram is matched
+    against every earlier window (windows ending strictly before the
+    sequence tail); prefer the RIGHTMOST match with >= k continuation
+    tokens, else the match with the longest continuation. Returns
+    (drafts [S, k] right-padded, k_eff [S]).
+    """
+    s, L = hist.shape
+    idx = jnp.arange(L - n + 1, dtype=jnp.int32)  # window starts
+    # [S, L-n+1, n] sliding windows (static slices, n is tiny)
+    win = jnp.stack([hist[:, j:j + L - n + 1] for j in range(n)], axis=-1)
+    pat_idx = jnp.clip(seq_lens[:, None] - n + jnp.arange(n, dtype=jnp.int32)[None, :],
+                       0, L - 1)
+    pat = jnp.take_along_axis(hist, pat_idx, axis=1)  # [S, n]
+    match = (win == pat[:, None, :]).all(-1)  # [S, L-n+1]
+    avail = seq_lens[:, None] - (idx[None, :] + n)  # continuation tokens
+    valid = match & (avail >= 1) & (seq_lens[:, None] >= n + 1)
+    full = valid & (avail >= k)
+    j_full = jnp.max(jnp.where(full, idx[None, :], -1), axis=1)  # rightmost
+    avail_masked = jnp.where(valid, avail, -1)
+    j_best = jnp.argmax(avail_masked, axis=1).astype(jnp.int32)  # first max
+    has_any = jnp.max(avail_masked, axis=1) >= 1
+    j = jnp.where(j_full >= 0, j_full, j_best)
+    av = jnp.take_along_axis(avail, j[:, None], axis=1)[:, 0]
+    k_eff = jnp.where(has_any,
+                      jnp.clip(jnp.minimum(av, k_cap), 0, k),
+                      0).astype(jnp.int32)
+    gidx = jnp.clip(j[:, None] + n + jnp.arange(k, dtype=jnp.int32)[None, :],
+                    0, L - 1)
+    drafts = jnp.take_along_axis(hist, gidx, axis=1)
+    drafts = jnp.where(jnp.arange(k, dtype=jnp.int32)[None, :] < k_eff[:, None],
+                       drafts, 0)
+    return drafts, k_eff
+
+
 def verify_step(params, p: LlamaParams, tokens: jax.Array, cache: KVCache,
                 positions: jax.Array, lengths: jax.Array,
                 window: Optional[int] = None):

@@ -177,6 +177,20 @@ class GenerationConfig:
     # slots; works in contiguous AND paged modes (not pipeline-parallel).
     speculation_tokens: int = 0
     speculation_ngram: int = 3
+    # Fused speculation rounds: run this many draft+verify rounds inside
+    # ONE device dispatch (lax.scan), with the prompt-lookup drafting done
+    # ON DEVICE (llama.draft_lookup) from an uploaded history buffer —
+    # the speculation analogue of decode_horizon. 1 = one verify per
+    # dispatch (round-3 behavior). Contiguous single-island mode only;
+    # paged / multi-chip meshes use single-round verification.
+    speculation_rounds: int = 4
+    # Break-even guard: a fused-speculation dispatch only fires when the
+    # EXPECTED extra tokens per slot per round (per-slot acceptance EMA x
+    # draft availability, averaged over active slots) clears this bar;
+    # below it the engine falls back to the plain fused decode horizon,
+    # whose per-round cost is ~1.3x cheaper than a C-wide verify. Keeps
+    # speculation from regressing on low-acceptance (random) traffic.
+    speculation_min_gain: float = 0.4
     eos_token_id: int = 2
     temperature: float = 0.0
     top_k: int = 0
