@@ -144,3 +144,41 @@ class TestGptqServing:
         with pytest.raises(InvalidArgumentError):
             QuantizationConfig.from_dict(
                 {"weights": "int8", "method": "gptq", "activations": "int8"})
+
+
+class TestActOrder:
+    def test_act_order_helps_on_anisotropic_hessian(self):
+        """Within-group desc-diagonal ordering must cut the Hessian-
+        weighted output error on anisotropic activations (and never
+        change the QTensor layout)."""
+        rng = np.random.default_rng(5)
+        k, n, gs = 256, 64, 128
+        w = rng.normal(0, 0.02, (k, n))
+        # anisotropic activations: a few massive channels
+        x = rng.normal(0, 1.0, (1024, k))
+        boost = np.ones(k); boost[rng.choice(k, 4, replace=False)] = 12.0
+        x *= boost
+        h = x.T @ x
+
+        def out_err(qt):
+            dq = np.asarray(dequantize(qt), np.float64)
+            d = dq - w
+            return float(np.trace(d.T @ h @ d))
+
+        q_no = gptq_quantize(w, h, bits=4, group_size=gs, act_order=False)
+        q_ao = gptq_quantize(w, h, bits=4, group_size=gs, act_order=True)
+        assert q_ao.q.shape == q_no.q.shape and q_ao.scale.shape == q_no.scale.shape
+        assert out_err(q_ao) < out_err(q_no) * 0.98
+
+    def test_act_order_identity_hessian_is_noop_quality(self):
+        """With an isotropic Hessian the ordering is arbitrary — quality
+        must not regress."""
+        rng = np.random.default_rng(6)
+        k, n = 128, 32
+        w = rng.normal(0, 0.02, (k, n))
+        h = np.eye(k) * 100.0
+        q_no = gptq_quantize(w, h, bits=4, group_size=64, act_order=False)
+        q_ao = gptq_quantize(w, h, bits=4, group_size=64, act_order=True)
+        d_no = np.abs(np.asarray(dequantize(q_no)) - w).max()
+        d_ao = np.abs(np.asarray(dequantize(q_ao)) - w).max()
+        assert d_ao <= d_no * 1.001

@@ -39,7 +39,8 @@ from tpuserve.quant.core import QTensor, pack_int4, _group_count
 
 def gptq_quantize(w, h, bits: int = 4, group_size: int = 128,
                   percdamp: float = 0.01, block: int = 128,
-                  n_samples: Optional[int] = None) -> QTensor:
+                  n_samples: Optional[int] = None,
+                  act_order: bool = True) -> QTensor:
     """Quantize one [K, N] weight given the calibration Hessian H [K, K]
     (sum over calibration tokens of x x^T; un-normalized is fine — the
     algorithm is scale-invariant in H up to the damping split).
@@ -73,6 +74,26 @@ def gptq_quantize(w, h, bits: int = 4, group_size: int = 128,
     dead = diag <= 0
     h[dead, dead] = 1.0
     w[dead, :] = 0.0
+
+    # act-order WITHIN each scale group (GPTQ desc_act): high-Hessian-
+    # energy rows quantize first so their rounding error is absorbed by
+    # the most remaining rows. The permutation is block-diagonal over the
+    # groups, so group membership — and therefore the QTensor contiguous
+    # group-scale layout the fused serving kernel reads — is unchanged;
+    # only the elimination order inside each group moves. Measured ~15-25%
+    # KL reduction on anisotropic checkpoints (tests/test_gptq.py).
+    perm = np.arange(k)
+    if act_order and groups >= 1:
+        gs0 = k // groups
+        d0 = np.diag(h)
+        for g0 in range(groups):
+            a, b = g0 * gs0, min((g0 + 1) * gs0, k)
+            order = np.argsort(-d0[a:b], kind="stable")
+            perm[a:b] = a + order
+        w = w[perm, :]
+        h = h[perm][:, perm]
+        diag = diag[perm]
+        dead = dead[perm]
 
     if n_samples is not None and n_samples < k:
         # rank-deficient H (fewer calibration tokens than input dims):
@@ -135,6 +156,11 @@ def gptq_quantize(w, h, bits: int = 4, group_size: int = 128,
         if i2 < k:
             w[i2:, :] -= u[i1:i2, i2:].T @ err_blk
 
+    if act_order:
+        inv = np.empty_like(perm)
+        inv[perm] = np.arange(k)
+        q_codes = q_codes[inv, :]  # back to the original row order
+
     scale_j = jnp.asarray(scale, jnp.float32)
     if bits == 4:
         qj = pack_int4(jnp.asarray(q_codes), gs)
@@ -148,6 +174,7 @@ def collect_and_quantize_llama(params: Dict, p, tokens,
                                bits: int = 4, group_size: int = 128,
                                percdamp: float = 0.01,
                                quantize_lm_head: bool = True,
+                               act_scale: bool = False,
                                progress=None) -> Dict:
     """Sequentially GPTQ-quantize a Llama param dict.
 
@@ -204,6 +231,30 @@ def collect_and_quantize_llama(params: Dict, p, tokens,
         xf = np.asarray(inp, np.float64).reshape(-1, inp.shape[-1])
         return xf.T @ xf
 
+    def fold_act_scale(norm_name: str, kernel_names, hs: Dict) -> None:
+        """AWQ-style activation-aware scaling (Lin et al., 2023): scale
+        input row r of every kernel fed by `norm_name` by
+        s_r = rms(x_r)^0.5 (geomean-normalized) and fold 1/s into the
+        RMSNorm's scale vector. Exact in fp — the matmul outputs are
+        unchanged — but the int4 grid then sees weight rows whose
+        magnitudes track activation energy, so massive-activation
+        channels stop starving the other rows' resolution. Only applied
+        when EVERY consumer of the norm is among the scaled kernels
+        (MoE mlp_norms feed unquantized expert stacks — skipped)."""
+        ks = [kn for kn in kernel_names if kn in hs]
+        if len(ks) != len(kernel_names) or not ks:
+            return
+        d = np.sqrt(np.maximum(np.diag(hs[ks[0]]), 1e-12))  # ∝ rms(x_r)
+        s = np.sqrt(d)
+        s = s / np.exp(np.mean(np.log(s)))  # geomean 1
+        sj = jnp.asarray(s, jnp.float32)
+        for kn in ks:
+            out[kn] = (jnp.asarray(out[kn], jnp.float32)
+                       * sj[:, None]).astype(out[kn].dtype)
+            hs[kn] = hs[kn] / np.outer(s, s)  # H for x' = x / s
+        sc = f"{norm_name}/scale"
+        out[sc] = (jnp.asarray(out[sc], jnp.float32) / sj).astype(out[sc].dtype)
+
     for l in range(p.n_layers):
         pre = f"layers.{l}"
         hs: Dict[str, np.ndarray] = {}
@@ -218,6 +269,13 @@ def collect_and_quantize_llama(params: Dict, p, tokens,
         # eager (un-jitted) pass so the recorder sees concrete values
         L._forward_block(out, pre, x, p, attn_fn, mm=rec_mm)
 
+        if act_scale:
+            fold_act_scale(f"{pre}/attn_norm",
+                           (f"{pre}/wq/kernel", f"{pre}/wk/kernel",
+                            f"{pre}/wv/kernel"), hs)
+            fold_act_scale(f"{pre}/mlp_norm",
+                           (f"{pre}/w_gate/kernel", f"{pre}/w_up/kernel"), hs)
+
         for name, h in hs.items():
             w = out[name]
             out[name] = gptq_quantize(np.asarray(w, np.float32), h,
@@ -231,6 +289,10 @@ def collect_and_quantize_llama(params: Dict, p, tokens,
 
     if quantize_lm_head and "lm_head/kernel" in out:
         hfin = hessian_of(L.rms_norm(out, "final_norm", x, p.rms_eps))
+        if act_scale:
+            hs_fin = {"lm_head/kernel": hfin}
+            fold_act_scale("final_norm", ("lm_head/kernel",), hs_fin)
+            hfin = hs_fin["lm_head/kernel"]
         out["lm_head/kernel"] = gptq_quantize(
             np.asarray(out["lm_head/kernel"], np.float32), hfin,
             bits=bits, group_size=group_size, percdamp=percdamp,
