@@ -201,13 +201,17 @@ class KVCache:
     k_scale: Optional[jax.Array]
     v_scale: Optional[jax.Array]
     flat: bool = False
+    # packed-int4 chunk count (pack_kv_codes chunks): 1 single-chip;
+    # = tp under a mesh so the byte array shards on head boundaries
+    pack_chunks: int = 1
 
     def tree_flatten(self):
-        return (self.k, self.v, self.k_scale, self.v_scale), (self.flat,)
+        return (self.k, self.v, self.k_scale, self.v_scale), (
+            self.flat, self.pack_chunks)
 
     @classmethod
     def tree_unflatten(cls, aux, children):
-        return cls(*children, flat=aux[0])
+        return cls(*children, flat=aux[0], pack_chunks=aux[1])
 
     @property
     def quantized(self) -> bool:
@@ -238,7 +242,8 @@ class KVCache:
     @classmethod
     def create(cls, p: LlamaParams, n_slots: int, max_len: int, quantized: bool,
                dtype=jnp.bfloat16, flat: bool = False,
-               scale_dtype=jnp.float32, kv_bits: int = 8) -> "KVCache":
+               scale_dtype=jnp.float32, kv_bits: int = 8,
+               pack_chunks: int = 1) -> "KVCache":
         if flat:
             shape = (p.n_layers, n_slots, max_len, p.n_kv_heads * p.head_dim)
         else:
@@ -255,12 +260,15 @@ class KVCache:
             if w % 2:
                 raise ValueError("kv_bits=4 requires an even n_kv_heads*head_dim")
             shape = shape[:-1] + (w // 2,)
+            if pack_chunks > 1 and p.n_kv_heads % pack_chunks:
+                raise ValueError("pack_chunks must divide n_kv_heads")
             return cls(
                 k=jnp.zeros(shape, jnp.uint8),
                 v=jnp.zeros(shape, jnp.uint8),
                 k_scale=jnp.zeros(scale_shape, scale_dtype),
                 v_scale=jnp.zeros(scale_shape, scale_dtype),
                 flat=flat,
+                pack_chunks=pack_chunks,
             )
         if quantized:
             # scale_dtype=bfloat16 halves the scale stream the decode kernel
@@ -302,7 +310,8 @@ def _write_slot_kv(cache: KVCache, layer, slot, start, kq, vq, ks, vs) -> KVCach
     if cache.flat:
         kw, vw = kq.reshape(c, -1), vq.reshape(c, -1)
         if cache.k.dtype == jnp.uint8:  # packed int4 (see pack_kv_codes)
-            kw, vw = pack_kv_codes(kw), pack_kv_codes(vw)
+            kw = pack_kv_codes(kw, cache.pack_chunks)
+            vw = pack_kv_codes(vw, cache.pack_chunks)
         kw, vw = kw[None][None], vw[None][None]
         idx = (layer, slot, start, 0)
     else:
@@ -320,7 +329,8 @@ def _write_slot_kv(cache: KVCache, layer, slot, start, kq, vq, ks, vs) -> KVCach
             (layer, slot, 0, start))
     else:
         ks_ = vs_ = None
-    return KVCache(k, v, ks_, vs_, flat=cache.flat)
+    return KVCache(k, v, ks_, vs_, flat=cache.flat,
+                   pack_chunks=cache.pack_chunks)
 
 
 def _decode_attn_mode(p: "LlamaParams") -> str:
@@ -367,30 +377,50 @@ def _quantize_kv_cache(cache: "KVCache", x: jax.Array):
     return _quantize_kv(x, 7.0 if cache.k.dtype == jnp.uint8 else 127.0)
 
 
-def pack_kv_codes(codes: jax.Array) -> jax.Array:
-    """int8 codes in [-8, 7] [..., W] -> packed uint8 [..., W/2], GLOBAL
-    split-half along the last dim: byte lane d holds positions d (lo
-    nibble) and W/2 + d (hi nibble), offset-8. Matches the wide kernel's
-    two-half-dot unpack (ops/decode_attention._unpack_nibbles); unpack+
-    concat restores the original order, so the flat [S, L, W/2] cache is
-    readable on every path."""
-    half = codes.shape[-1] // 2
+def pack_kv_codes(codes: jax.Array, chunks: int = 1) -> jax.Array:
+    """int8 codes in [-8, 7] [..., W] -> packed uint8 [..., W/2],
+    split-half along the last dim PER CHUNK: within each of `chunks`
+    equal slices of W, byte lane d holds positions d (lo nibble) and
+    Wc/2 + d (hi nibble), offset-8. chunks=1 (the single-chip default) is
+    the original GLOBAL split-half, matching the wide kernel's
+    two-half-dot unpack (ops/decode_attention._unpack_nibbles).
+
+    chunks = tp makes the packed array SHARDABLE over kv-heads: a tp
+    shard's byte slice [(W/2)/tp] is exactly its own W/tp positions
+    split-half-packed locally, so each shard_map kernel island reads its
+    local bytes with the standard (chunks=1) unpack. Requires tp | Hkv
+    (head-aligned chunks)."""
+    w = codes.shape[-1]
+    if chunks > 1:
+        wc = w // chunks
+        x = codes.reshape(codes.shape[:-1] + (chunks, wc))
+        lo = x[..., : wc // 2].astype(jnp.int32) + 8
+        hi = x[..., wc // 2:].astype(jnp.int32) + 8
+        return ((lo | (hi << 4)).astype(jnp.uint8)
+                .reshape(codes.shape[:-1] + (w // 2,)))
+    half = w // 2
     lo = (codes[..., :half].astype(jnp.int32) + 8)
     hi = (codes[..., half:].astype(jnp.int32) + 8)
     return (lo | (hi << 4)).astype(jnp.uint8)
 
 
-def unpack_kv_codes(packed: jax.Array) -> jax.Array:
+def unpack_kv_codes(packed: jax.Array, chunks: int = 1) -> jax.Array:
     """Inverse of pack_kv_codes: uint8 [..., W/2] -> int8 [..., W]."""
     p32 = packed.astype(jnp.int32)
+    if chunks > 1:
+        wb = packed.shape[-1] // chunks  # bytes per chunk
+        x = p32.reshape(p32.shape[:-1] + (chunks, wb))
+        return (jnp.concatenate([(x & 15) - 8, (x >> 4) - 8], axis=-1)
+                .reshape(packed.shape[:-1] + (packed.shape[-1] * 2,))
+                .astype(jnp.int8))
     return jnp.concatenate([(p32 & 15) - 8, (p32 >> 4) - 8],
                            axis=-1).astype(jnp.int8)
 
 
-def _unpack_if_int4(arr: jax.Array) -> jax.Array:
+def _unpack_if_int4(arr: jax.Array, chunks: int = 1) -> jax.Array:
     """XLA read-path helper: packed int4 cache slices unpack in-graph
     (uint8 anywhere in a KV read = packed int4)."""
-    return unpack_kv_codes(arr) if arr.dtype == jnp.uint8 else arr
+    return unpack_kv_codes(arr, chunks) if arr.dtype == jnp.uint8 else arr
 
 
 # ---------------------------------------------------------------------- blocks
@@ -708,8 +738,8 @@ def prefill_chunk(params, p: LlamaParams, tokens: jax.Array, cache: KVCache,
             k_all = jax.lax.dynamic_slice_in_dim(new_cache.k[layer], slot, 1, 0)[0, :window]
             v_all = jax.lax.dynamic_slice_in_dim(new_cache.v[layer], slot, 1, 0)[0, :window]
             if new_cache.flat:
-                k_all = _unpack_if_int4(k_all)
-                v_all = _unpack_if_int4(v_all)
+                k_all = _unpack_if_int4(k_all, new_cache.pack_chunks)
+                v_all = _unpack_if_int4(v_all, new_cache.pack_chunks)
                 k_all = k_all.reshape(window, p.n_kv_heads, p.head_dim)
                 v_all = v_all.reshape(window, p.n_kv_heads, p.head_dim)
             n_rep = p.n_heads // p.n_kv_heads
@@ -886,7 +916,8 @@ def verify_step(params, p: LlamaParams, tokens: jax.Array, cache: KVCache,
             if new_cache.flat:
                 kq, vq = kq.reshape(s, c, -1), vq.reshape(s, c, -1)
                 if new_cache.k.dtype == jnp.uint8:  # packed int4
-                    kq, vq = pack_kv_codes(kq), pack_kv_codes(vq)
+                    kq = pack_kv_codes(kq, new_cache.pack_chunks)
+                    vq = pack_kv_codes(vq, new_cache.pack_chunks)
             sidx = slot_idx[:, None]  # [S, 1] broadcasts against pos_c [S, C]
 
             def masked(new, old_arr):
@@ -905,6 +936,7 @@ def verify_step(params, p: LlamaParams, tokens: jax.Array, cache: KVCache,
                 k_scale=None if ks is None else new_cache.k_scale.at[layer, sidx, :, pos_c].set(masked_sc(ks, new_cache.k_scale)),
                 v_scale=None if vs is None else new_cache.v_scale.at[layer, sidx, :, pos_c].set(masked_sc(vs, new_cache.v_scale)),
                 flat=new_cache.flat,
+                pack_chunks=new_cache.pack_chunks,
             )
 
             # kernel path: the flat cache is read IN PLACE by the
@@ -940,8 +972,8 @@ def verify_step(params, p: LlamaParams, tokens: jax.Array, cache: KVCache,
             k_all = new_cache.k[layer, :, :win]  # [S, win, ...]
             v_all = new_cache.v[layer, :, :win]
             if new_cache.flat:
-                k_all = _unpack_if_int4(k_all)
-                v_all = _unpack_if_int4(v_all)
+                k_all = _unpack_if_int4(k_all, new_cache.pack_chunks)
+                v_all = _unpack_if_int4(v_all, new_cache.pack_chunks)
                 k_all = k_all.reshape(s, win, p.n_kv_heads, p.head_dim)
                 v_all = v_all.reshape(s, win, p.n_kv_heads, p.head_dim)
             if new_cache.quantized:
@@ -1035,13 +1067,15 @@ def decode_step(params, p: LlamaParams, tokens: jax.Array, cache: KVCache,
             if new_cache.flat:
                 kq, vq = kq.reshape(s, -1), vq.reshape(s, -1)  # [S, W] rows
                 if new_cache.k.dtype == jnp.uint8:  # packed int4
-                    kq, vq = pack_kv_codes(kq), pack_kv_codes(vq)
+                    kq = pack_kv_codes(kq, new_cache.pack_chunks)
+                    vq = pack_kv_codes(vq, new_cache.pack_chunks)
             new_cache = KVCache(
                 k=new_cache.k.at[layer, slot_idx, pos].set(masked(kq.astype(new_cache.k.dtype), new_cache.k)),
                 v=new_cache.v.at[layer, slot_idx, pos].set(masked(vq.astype(new_cache.v.dtype), new_cache.v)),
                 k_scale=None if ks is None else new_cache.k_scale.at[layer, slot_idx, :, pos].set(masked_sc(ks, new_cache.k_scale)),
                 v_scale=None if vs is None else new_cache.v_scale.at[layer, slot_idx, :, pos].set(masked_sc(vs, new_cache.v_scale)),
                 flat=new_cache.flat,
+                pack_chunks=new_cache.pack_chunks,
             )
 
             from tpuserve.parallel.sharding import active_mesh, mesh_sp
@@ -1059,8 +1093,8 @@ def decode_step(params, p: LlamaParams, tokens: jax.Array, cache: KVCache,
                 if new_cache.flat:
                     # engine forces 5D cache under sp; direct callers with a
                     # flat cache pay the relayout here (documented fallback)
-                    k_l = _unpack_if_int4(k_l)
-                    v_l = _unpack_if_int4(v_l)
+                    k_l = _unpack_if_int4(k_l, new_cache.pack_chunks)
+                    v_l = _unpack_if_int4(v_l, new_cache.pack_chunks)
                     k_l = k_l.reshape(s, l_max, p.n_kv_heads, p.head_dim)
                     v_l = v_l.reshape(s, l_max, p.n_kv_heads, p.head_dim)
                 out = decode_attention_seq_sharded(
@@ -1089,12 +1123,21 @@ def decode_step(params, p: LlamaParams, tokens: jax.Array, cache: KVCache,
 
                 mesh = active_mesh()
                 if mesh is not None and mesh.devices.size > 1:
+                    tp_now = int(mesh.shape.get("tp", 1))
                     if new_cache.k.dtype == jnp.uint8:
-                        # packed int4 bytes interleave W positions (d,
-                        # W/2+d) — a kv-head W split of the packed array
-                        # would be wrong; the XLA path unpacks first, which
-                        # GSPMD shards correctly
-                        attn_mode = "xla"
+                        # packed int4: sliceable on head boundaries ONLY
+                        # when packed per shard (pack_chunks == tp — see
+                        # pack_kv_codes); each island then reads its local
+                        # bytes with the standard unpack. A globally packed
+                        # cache (chunks=1) under tp>1 interleaves W
+                        # positions across shards — XLA unpacks first.
+                        w_local = p.n_kv_heads * p.head_dim // max(tp_now, 1)
+                        if ((tp_now == 1 or new_cache.pack_chunks == tp_now)
+                                and can_shard_decode_attention(mesh, s, p.n_kv_heads)
+                                and (w_local // 2) % 128 == 0):
+                            attn_mesh = mesh
+                        else:
+                            attn_mode = "xla"
                     elif can_shard_decode_attention(mesh, s, p.n_kv_heads):
                         attn_mesh = mesh
                     else:
@@ -1129,8 +1172,8 @@ def decode_step(params, p: LlamaParams, tokens: jax.Array, cache: KVCache,
                 # tile-crossing relayout (full window copy per layer on TPU)
                 # — acceptable only on this fallback path; the kernel path
                 # above reads the flat cache in place
-                k_all = _unpack_if_int4(k_all)
-                v_all = _unpack_if_int4(v_all)
+                k_all = _unpack_if_int4(k_all, new_cache.pack_chunks)
+                v_all = _unpack_if_int4(v_all, new_cache.pack_chunks)
                 k_all = k_all.reshape(s, win, p.n_kv_heads, p.head_dim)
                 v_all = v_all.reshape(s, win, p.n_kv_heads, p.head_dim)
             if new_cache.quantized:
@@ -1230,14 +1273,16 @@ def prefill_paged(params, p: LlamaParams, tokens: jax.Array, cache,
             q = apply_rope(q, cos, sin)
             k = apply_rope(k, cos, sin)
             if new_cache.quantized:
-                kq, ks = _quantize_kv(k[0])  # [L, Hkv, hd], [L, Hkv]
-                vq, vs = _quantize_kv(v[0])
+                kq, ks = _quantize_kv_cache(new_cache, k[0])  # [L, Hkv, hd], [L, Hkv]
+                vq, vs = _quantize_kv_cache(new_cache, v[0])
             else:
                 kq = k[0].astype(new_cache.k.dtype)
                 vq = v[0].astype(new_cache.v.dtype)
                 ks = vs = None
             if new_cache.flat:
                 kq, vq = kq.reshape(l, -1), vq.reshape(l, -1)
+                if new_cache.k.dtype == jnp.uint8:  # packed int4 pool
+                    kq, vq = pack_kv_codes(kq), pack_kv_codes(vq)
             new_cache = PagedKVCache(
                 k=new_cache.k.at[layer, page_ids, offsets].set(kq.astype(new_cache.k.dtype)),
                 v=new_cache.v.at[layer, page_ids, offsets].set(vq.astype(new_cache.v.dtype)),
@@ -1311,14 +1356,16 @@ def prefill_paged_suffix(params, p: LlamaParams, tokens: jax.Array, cache,
             q = apply_rope(q, cos, sin)
             k = apply_rope(k, cos, sin)
             if new_cache.quantized:
-                kq, ks = _quantize_kv(k[0])  # [C, Hkv, hd], [C, Hkv]
-                vq, vs = _quantize_kv(v[0])
+                kq, ks = _quantize_kv_cache(new_cache, k[0])  # [C, Hkv, hd], [C, Hkv]
+                vq, vs = _quantize_kv_cache(new_cache, v[0])
             else:
                 kq = k[0].astype(new_cache.k.dtype)
                 vq = v[0].astype(new_cache.v.dtype)
                 ks = vs = None
             if new_cache.flat:
                 kq, vq = kq.reshape(c, -1), vq.reshape(c, -1)
+                if new_cache.k.dtype == jnp.uint8:  # packed int4 pool
+                    kq, vq = pack_kv_codes(kq), pack_kv_codes(vq)
 
             def masked(new, old_arr):
                 old = old_arr[layer, wpage, woff]
@@ -1335,8 +1382,10 @@ def prefill_paged_suffix(params, p: LlamaParams, tokens: jax.Array, cache,
             # gathered logical window view [win, Hkv, hd] (prefix pages +
             # this suffix's just-written pages — the documented paged-gather
             # tradeoff, see paged_kv.py)
-            k_all = new_cache.k[layer, row].reshape(l_virt, p.n_kv_heads, p.head_dim)
-            v_all = new_cache.v[layer, row].reshape(l_virt, p.n_kv_heads, p.head_dim)
+            k_all = _unpack_if_int4(new_cache.k[layer, row]).reshape(
+                l_virt, p.n_kv_heads, p.head_dim)
+            v_all = _unpack_if_int4(new_cache.v[layer, row]).reshape(
+                l_virt, p.n_kv_heads, p.head_dim)
             n_rep = p.n_heads // p.n_kv_heads
             qg = q[0].reshape(c, p.n_kv_heads, n_rep, p.head_dim)
             cdt = jnp.float32 if k_all.dtype == jnp.float32 else jnp.bfloat16
@@ -1416,14 +1465,16 @@ def decode_step_paged(params, p: LlamaParams, tokens: jax.Array, cache,
                 return jnp.where(m, new, old)
 
             if new_cache.quantized:
-                kq, ks = _quantize_kv(k)
-                vq, vs = _quantize_kv(v)
+                kq, ks = _quantize_kv_cache(new_cache, k)
+                vq, vs = _quantize_kv_cache(new_cache, v)
             else:
                 kq = k.astype(new_cache.k.dtype)
                 vq = v.astype(new_cache.v.dtype)
                 ks = vs = None
             if new_cache.flat:
                 kq, vq = kq.reshape(s, -1), vq.reshape(s, -1)
+                if new_cache.k.dtype == jnp.uint8:  # packed int4 pool
+                    kq, vq = pack_kv_codes(kq), pack_kv_codes(vq)
             new_cache = PagedKVCache(
                 k=new_cache.k.at[layer, wpage, woff].set(masked(kq.astype(new_cache.k.dtype), new_cache.k)),
                 v=new_cache.v.at[layer, wpage, woff].set(masked(vq.astype(new_cache.v.dtype), new_cache.v)),
@@ -1458,7 +1509,12 @@ def decode_step_paged(params, p: LlamaParams, tokens: jax.Array, cache,
 
                 mesh = active_mesh()
                 if mesh is not None and mesh.devices.size > 1:
-                    if can_shard_decode_attention(mesh, s, p.n_kv_heads):
+                    if new_cache.k.dtype == jnp.uint8:
+                        # packed int4 bytes interleave W positions — a
+                        # kv-head split of the packed pool would be wrong
+                        # (see decode_step); XLA path unpacks first
+                        use_kernel = False
+                    elif can_shard_decode_attention(mesh, s, p.n_kv_heads):
                         attn_mesh = mesh
                     else:
                         use_kernel = False
@@ -1489,9 +1545,10 @@ def decode_step_paged(params, p: LlamaParams, tokens: jax.Array, cache,
                 return out.astype(x.dtype).reshape(s, p.n_heads * p.head_dim)
 
             # gather the logical per-slot view from the page pool
-            kp = new_cache.k[layer][page_table]  # [S, P, ps, ...]
+            kp = _unpack_if_int4(new_cache.k[layer][page_table])  # [S, P, ps, ...]
             k_all = kp.reshape(s, l_virt, p.n_kv_heads, p.head_dim)
-            v_all = new_cache.v[layer][page_table].reshape(s, l_virt, p.n_kv_heads, p.head_dim)
+            v_all = _unpack_if_int4(new_cache.v[layer][page_table]).reshape(
+                s, l_virt, p.n_kv_heads, p.head_dim)
             return _gqa_decode_attention(
                 q.reshape(s, -1), k_all, v_all, k_scale, v_scale, read_mask, p, x.dtype
             )
@@ -1559,14 +1616,16 @@ def verify_step_paged(params, p: LlamaParams, tokens: jax.Array, cache,
                 return jnp.where(m, new, old)
 
             if new_cache.quantized:
-                kq, ks = _quantize_kv(k)  # [S, C, Hkv, hd], [S, C, Hkv]
-                vq, vs = _quantize_kv(v)
+                kq, ks = _quantize_kv_cache(new_cache, k)  # [S, C, Hkv, hd], [S, C, Hkv]
+                vq, vs = _quantize_kv_cache(new_cache, v)
             else:
                 kq = k.astype(new_cache.k.dtype)
                 vq = v.astype(new_cache.v.dtype)
                 ks = vs = None
             if new_cache.flat:
                 kq, vq = kq.reshape(s, c, -1), vq.reshape(s, c, -1)
+                if new_cache.k.dtype == jnp.uint8:  # packed int4 pool
+                    kq, vq = pack_kv_codes(kq), pack_kv_codes(vq)
             new_cache = PagedKVCache(
                 k=new_cache.k.at[layer, wpage, woff].set(masked(kq.astype(new_cache.k.dtype), new_cache.k)),
                 v=new_cache.v.at[layer, wpage, woff].set(masked(vq.astype(new_cache.v.dtype), new_cache.v)),
@@ -1576,9 +1635,9 @@ def verify_step_paged(params, p: LlamaParams, tokens: jax.Array, cache,
             )
 
             # gathered logical window view (documented paged tradeoff)
-            k_all = new_cache.k[layer][page_table].reshape(
+            k_all = _unpack_if_int4(new_cache.k[layer][page_table]).reshape(
                 s, l_virt, p.n_kv_heads, p.head_dim)
-            v_all = new_cache.v[layer][page_table].reshape(
+            v_all = _unpack_if_int4(new_cache.v[layer][page_table]).reshape(
                 s, l_virt, p.n_kv_heads, p.head_dim)
             if new_cache.quantized:
                 k_scale = new_cache.k_scale[layer][page_table].reshape(

@@ -1086,12 +1086,16 @@ def decode_attention_wide_paged(
     if interpret is None:
         interpret = jax.devices()[0].platform != "tpu"
     s_dim, n_heads, hd = q.shape
-    if k_pool.ndim == 4:  # flat [n_layers, n_pages, ps, W]
-        n_layers, n_pages, ps, w = k_pool.shape
+    kv_bits = 4 if k_pool.dtype == jnp.uint8 else 8  # uint8 = packed int4
+    wdiv = 2 if kv_bits == 4 else 1
+    if k_pool.ndim == 4:  # flat [n_layers, n_pages, ps, W] (W/2 when int4)
+        n_layers, n_pages, ps, w_store = k_pool.shape
+        w = w_store * wdiv
         n_kv = w // hd
     else:
         n_layers, n_pages, ps, n_kv, _ = k_pool.shape
         w = n_kv * hd
+        w_store = w // wdiv
     rep = n_heads // n_kv
     m_dim = n_heads
     max_pages = page_table.shape[1]
@@ -1100,7 +1104,14 @@ def decode_attention_wide_paged(
     assert win % ps == 0, (win, ps)
     n_blocks = win // ps
     quantized = k_scale_l is not None
-    kv_int8 = bool(quantized) and k_pool.dtype == jnp.int8
+    kv_int8 = bool(quantized) and k_pool.dtype in (jnp.int8, jnp.uint8)
+    if kv_bits == 4:
+        if not quantized or k_pool.ndim != 4:
+            raise ValueError("packed int4 KV requires scaled flat pools")
+        if (w // 2) % 128 != 0:
+            raise ValueError(
+                f"packed int4 KV needs (n_kv_heads*head_dim)/2 % 128 == 0, "
+                f"got W={w}")
     sc_block = _scale_block(ps, win, quantized)
 
     qc, qs = _prep_q_compact(q, k_pool.dtype, kv_int8)
@@ -1110,8 +1121,8 @@ def decode_attention_wide_paged(
         s_dim=s_dim, m_dim=m_dim, rep=rep, quantized=quantized, l_win=win)
     m_pad = _pad8(m_dim)  # scale rows are per-slot padded (see _pad8)
 
-    kf = k_pool.reshape(n_layers * n_pages * ps, w)
-    vf = v_pool.reshape(n_layers * n_pages * ps, w)
+    kf = k_pool.reshape(n_layers * n_pages * ps, w_store)
+    vf = v_pool.reshape(n_layers * n_pages * ps, w_store)
     scalars = jnp.concatenate([
         jnp.asarray([layer], jnp.int32).reshape(1),
         positions.astype(jnp.int32),
@@ -1133,8 +1144,8 @@ def decode_attention_wide_paged(
                          memory_space=pltpu.VMEM),           # q compact
             pl.BlockSpec((1, m_dim, 1), lambda i, j, *_: (i, 0, 0),
                          memory_space=pltpu.VMEM),           # q scales
-            pl.BlockSpec((ps, w), kv_index, memory_space=pltpu.VMEM),
-            pl.BlockSpec((ps, w), kv_index, memory_space=pltpu.VMEM),
+            pl.BlockSpec((ps, w_store), kv_index, memory_space=pltpu.VMEM),
+            pl.BlockSpec((ps, w_store), kv_index, memory_space=pltpu.VMEM),
             pl.BlockSpec((m_pad, sc_block if quantized else 1),
                          _paged_sc_index(s_dim, ps, sc_block, quantized),
                          memory_space=pltpu.VMEM),           # K scales [M, sc]
@@ -1155,7 +1166,7 @@ def decode_attention_wide_paged(
         functools.partial(
             _wide_kernel, block_l=ps, n_kv=n_kv, rep=rep, hd=hd,
             kv_int8=kv_int8, quantized=quantized, pos_base=1,
-            sc_block=sc_block, inline_qw=True,
+            sc_block=sc_block, inline_qw=True, kv_bits=kv_bits,
         ),
         out_shape=jax.ShapeDtypeStruct((s_dim, m_dim, hd), jnp.float32),
         grid_spec=grid_spec,

@@ -537,4 +537,5 @@ def shard_cache(cache: KVCache, mesh: Mesh) -> KVCache:
         k_scale=None if cache.k_scale is None else jax.device_put(cache.k_scale, sc),
         v_scale=None if cache.v_scale is None else jax.device_put(cache.v_scale, sc),
         flat=cache.flat,
+        pack_chunks=cache.pack_chunks,
     )

@@ -364,14 +364,29 @@ class GenerationEngine:
             )
         quant_kv = qcfg.kv_cache in ("int8", "int4")
         kv_bits = 4 if qcfg.kv_cache == "int4" else 8
+        kv_pack_chunks = 1
         if kv_bits == 4:
-            # packed int4 KV: flat contiguous caches only (pack convention
-            # is defined on the flat W dim; see models/llama.pack_kv_codes)
-            if gen.paged:
-                raise BackendError("kv_cache int4 does not compose with paged")
-            if self.mesh is not None or pp > 1:
-                raise BackendError(
-                    "kv_cache int4 is single-chip (packed W cannot shard)")
+            # packed int4 KV: flat caches/pools only (pack convention is
+            # defined on the flat W dim; see models/llama.pack_kv_codes).
+            # Under a tp mesh the cache packs per shard (pack_chunks = tp)
+            # so the byte array shards on head boundaries; sp forces the
+            # 5D layout and pp islands read 5D, so neither composes.
+            if pp > 1:
+                raise BackendError("kv_cache int4 does not compose with "
+                                   "pipeline_parallel (5D stage caches)")
+            if self.mesh is not None:
+                from tpuserve.parallel.sharding import mesh_sp
+
+                tp = int(self.mesh.shape.get("tp", 1))
+                if mesh_sp(self.mesh) > 1:
+                    raise BackendError(
+                        "kv_cache int4 does not compose with "
+                        "sequence_parallel (sp reads the 5D layout)")
+                if tp > 1:
+                    if p.n_kv_heads % tp or (p.n_kv_heads * p.head_dim // tp) % 2:
+                        raise BackendError(
+                            "kv_cache int4 under tp needs tp | n_kv_heads")
+                    kv_pack_chunks = tp
             if (p.n_kv_heads * p.head_dim) % 2:
                 raise BackendError("kv_cache int4 needs even n_kv_heads*head_dim")
         if gen.paged:
@@ -386,8 +401,15 @@ class GenerationEngine:
 
                 flat = can_shard_decode_attention(
                     self.mesh, self.n_slots, p.n_kv_heads)
+            if kv_bits == 4:
+                flat = True  # pack convention lives on the flat W dim
+                if self.mesh is not None:
+                    raise BackendError(
+                        "paged kv_cache int4 is single-chip (the shared "
+                        "pool cannot shard a packed W dim)")
             self.cache = PagedKVCache.create(
                 self.p, num_pages, ps, quantized=quant_kv, flat=flat,
+                kv_bits=kv_bits,
             )
             if self.mesh is not None:
                 # pool: kv-heads over tp, replicated across dp (pages are a
@@ -419,6 +441,7 @@ class GenerationEngine:
             self.cache = KVCache.create(
                 p, self.n_slots, self.max_seq_len, quantized=quant_kv,
                 flat=flat, scale_dtype=scale_dtype, kv_bits=kv_bits,
+                pack_chunks=kv_pack_chunks,
             )
             if self._pp > 1:
                 from tpuserve.parallel.pipeline import shard_cache_pp

@@ -227,18 +227,33 @@ class PagedKVCache:
             total += self.k_scale.size * 4 + self.v_scale.size * 4
         return total
 
+    @property
+    def kv_bits(self) -> int:
+        """8 (int8/bf16 pages) or 4 (uint8 = packed int4, two codes per
+        byte along the last dim — see llama.pack_kv_codes)."""
+        return 4 if self.k.dtype == jnp.uint8 else 8
+
     @classmethod
     def create(cls, p: LlamaParams, n_pages: int, page_size: int, quantized: bool,
-               dtype=jnp.bfloat16, flat: bool = False) -> "PagedKVCache":
+               dtype=jnp.bfloat16, flat: bool = False,
+               kv_bits: int = 8) -> "PagedKVCache":
+        w = p.n_kv_heads * p.head_dim
+        if kv_bits == 4:
+            if not (quantized and flat):
+                raise ValueError("kv_bits=4 requires quantized flat pools")
+            if w % 2:
+                raise ValueError("kv_bits=4 requires an even n_kv_heads*head_dim")
         if flat:
-            shape = (p.n_layers, n_pages, page_size, p.n_kv_heads * p.head_dim)
+            shape = (p.n_layers, n_pages, page_size,
+                     w // 2 if kv_bits == 4 else w)
         else:
             shape = (p.n_layers, n_pages, page_size, p.n_kv_heads, p.head_dim)
         scale_shape = (p.n_layers, n_pages, page_size, p.n_kv_heads)
         if quantized:
+            code_dt = jnp.uint8 if kv_bits == 4 else jnp.int8
             return cls(
-                k=jnp.zeros(shape, jnp.int8),
-                v=jnp.zeros(shape, jnp.int8),
+                k=jnp.zeros(shape, code_dt),
+                v=jnp.zeros(shape, code_dt),
                 k_scale=jnp.zeros(scale_shape, jnp.float32),
                 v_scale=jnp.zeros(scale_shape, jnp.float32),
                 flat=flat,
