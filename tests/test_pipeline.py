@@ -5,6 +5,7 @@ runs a microbatch-rotation pipeline (parallel/pipeline.py)."""
 
 import json
 import os
+import time
 
 import jax
 import jax.numpy as jnp
@@ -269,7 +270,12 @@ class TestPipelineEngine:
             dict(sharding={"pipeline_parallel": 2, "sequence_parallel": 2}),
             # tp composes now, but head counts must divide (n_kv_heads=2)
             dict(sharding={"pipeline_parallel": 2, "tensor_parallel": 4}),
-            dict(sharding={"pipeline_parallel": 2}, paged=True, page_size=16),
+            # pp x paged composes now (v1), but only pp-pure meshes and
+            # never with prefix sharing
+            dict(sharding={"pipeline_parallel": 2, "tensor_parallel": 2},
+                 paged=True, page_size=16),
+            dict(sharding={"pipeline_parallel": 2}, paged=True, page_size=16,
+                 prefix_sharing=True),
             dict(sharding={"pipeline_parallel": 2}, prefill_chunk=16),
             dict(sharding={"pipeline_parallel": 3}),  # n_layers % pp != 0
         ]
@@ -279,3 +285,36 @@ class TestPipelineEngine:
                 vdir, ModelConfig.from_file(os.path.join(vdir, "config.json")))
             with pytest.raises(BackendError):
                 eng.start()
+
+
+    def test_pp_paged_matches_unsharded(self, tmp_path):
+        """pp=2 over a paged pool (pp x paged v1) generates the same
+        greedy tokens as a single-device paged engine, and returns its
+        pages on retirement."""
+        from tpuserve.repository.config import ModelConfig
+        from tpuserve.serving.engine import GenerationEngine
+
+        vd_ref = _write_pp_repo(tmp_path, "pppg_solo", paged=True, page_size=16)
+        vd_pp = _write_pp_repo(tmp_path, "pppg2",
+                               sharding={"pipeline_parallel": 2},
+                               paged=True, page_size=16)
+        eng_r = GenerationEngine(vd_ref, ModelConfig.from_file(
+            os.path.join(vd_ref, "config.json")))
+        eng_p = GenerationEngine(vd_pp, ModelConfig.from_file(
+            os.path.join(vd_pp, "config.json")))
+        eng_r.start()
+        eng_p.start()
+        try:
+            for prompt in ([5, 17, 100, 9], [9, 9], [3, 1, 4, 1, 5]):
+                rr = eng_r.generate(prompt, max_new_tokens=6)
+                rp = eng_p.generate(prompt, max_new_tokens=6)
+                assert rr["output_ids"] == rp["output_ids"], prompt
+            # release happens just after done.set(): give the loop a beat
+            for _ in range(100):
+                if eng_p.ptm.free_pages == eng_p.ptm._alloc.total_pages:
+                    break
+                time.sleep(0.05)
+            assert eng_p.ptm.free_pages == eng_p.ptm._alloc.total_pages
+        finally:
+            eng_r.stop()
+            eng_p.stop()

@@ -539,3 +539,275 @@ def pp_prefill(params: Dict, p: LlamaParams, tokens: jax.Array,
                         v_scale=vs_c if quantized else None,
                         flat=cache.flat)
     return logits, new_cache
+
+
+# ---------------------------------------------------------------- pp x paged
+# Round-4 composition (VERDICT r3 #9: 70B serving wants capacity staging AND
+# demand-paged KV). The page pool's layer dim already leads, so it stages
+# over "pp" exactly like the contiguous cache; page tables are host-global
+# and enter the island replicated. v1 scope: pp only (tp = dp = 1 — the
+# engine gates), 5D pool layout (pp islands read 5D), no prefix sharing.
+
+
+def shard_paged_cache_pp(cache, mesh: Mesh):
+    """Stage-local page pool: layer (leading) dim over "pp", pages global
+    per stage."""
+    from tpuserve.serving.paged_kv import PagedKVCache
+
+    nd = cache.k.ndim
+    kv = NamedSharding(mesh, P(*(("pp",) + (None,) * (nd - 1))))
+    sc = NamedSharding(mesh, P("pp", None, None, None))
+    return PagedKVCache(
+        k=jax.device_put(cache.k, kv),
+        v=jax.device_put(cache.v, kv),
+        k_scale=None if cache.k_scale is None else jax.device_put(cache.k_scale, sc),
+        v_scale=None if cache.v_scale is None else jax.device_put(cache.v_scale, sc),
+        flat=cache.flat,
+    )
+
+
+def pp_decode_step_paged(params: Dict, p: LlamaParams, tokens: jax.Array,
+                         cache, page_table: jax.Array,
+                         positions: jax.Array, mesh: Mesh,
+                         window: Optional[int] = None):
+    """One decode step through the layer pipeline over a PagedKVCache.
+
+    Contract of llama.decode_step_paged (tokens [S], page_table [S, P],
+    positions [S]; the engine grows each active slot's chain first), with
+    pp_decode_step's microbatch-rotation schedule: stage s writes/reads
+    ONLY its local lp layers' pages."""
+    from tpuserve.serving.paged_kv import PagedKVCache
+
+    pp = int(mesh.shape["pp"])
+    lp = p.n_layers // pp
+    s_dim = int(tokens.shape[0])
+    mb = s_dim // pp
+    ps = cache.page_size
+    quantized = cache.quantized
+    if window is not None:
+        n_cols = max(1, min(int(window) // ps, page_table.shape[1]))
+        page_table = page_table[:, :n_cols]
+    l_virt = page_table.shape[1] * ps
+
+    stack_keys = [k for k in params if k.startswith(_STACK)]
+    shared = {k: v for k, v in params.items() if not k.startswith(_STACK)}
+    stacks = {k: params[k] for k in stack_keys}
+    spec_tree_stacks = {k: v for k, v in pipeline_pspecs(params).items()
+                        if k.startswith(_STACK)}
+    spec_tree_shared = {k: (dataclasses.replace(v, q=P(), scale=P())
+                            if isinstance(v, QTensor) else P())
+                        for k, v in shared.items()}
+    nd = cache.k.ndim
+    kv_spec = P(*(("pp",) + (None,) * (nd - 1)))
+    sc_spec = P("pp", None, None, None)
+    from jax.experimental.shard_map import shard_map
+
+    def island(stk, shr, toks, table, pos, k_c, v_c, ks_c, vs_c):
+        stage = jax.lax.axis_index("pp")
+        dtype = shr["embed/weight"].dtype
+        x = jnp.zeros((mb, p.dim), dtype)
+        xs_final = jnp.zeros((s_dim, p.dim), dtype)
+        for t in range(2 * pp - 1):
+            mb_idx = t - stage
+            valid = (mb_idx >= 0) & (mb_idx < pp)
+            mbc = jnp.clip(mb_idx, 0, pp - 1)
+            if t < pp:
+                inject = shr["embed/weight"][
+                    jax.lax.dynamic_slice_in_dim(toks, t * mb, mb)]
+                x = jnp.where(stage == 0, inject, x)
+            row0 = mbc * mb
+            pos_mb = jax.lax.dynamic_slice_in_dim(pos, row0, mb)
+            act = (pos_mb >= 0) & valid
+            posc = jnp.maximum(pos_mb, 0)
+            cos, sin = rope_cos_sin(posc, p.head_dim, p.rope_theta)
+            cos_q, sin_q = cos[:, None, :], sin[:, None, :]
+            table_mb = jax.lax.dynamic_slice_in_dim(table, row0, mb)  # [mb, P]
+            mrow = jnp.arange(mb, dtype=jnp.int32)
+            # physical write coords; invalid rows target the zero page and
+            # re-write its old (zero) contents via the masked gather below
+            wpage = table_mb[mrow, posc // ps] * act.astype(jnp.int32)
+            woff = (posc % ps) * act.astype(jnp.int32)
+            ar = jnp.arange(l_virt, dtype=jnp.int32)
+            read_mask = ar[None, :] <= posc[:, None]
+            for ll in range(lp):
+                view = _layer_view(stk, ll)
+
+                def attn_fn(q, k, v, ll=ll):
+                    nonlocal k_c, v_c, ks_c, vs_c
+                    q = q.reshape(mb, p.n_heads, p.head_dim)
+                    k = k.reshape(mb, p.n_kv_heads, p.head_dim)
+                    v = v.reshape(mb, p.n_kv_heads, p.head_dim)
+                    q = apply_rope(q, cos_q, sin_q)
+                    k = apply_rope(k, cos_q, sin_q)
+                    if quantized:
+                        kq, ks = _quantize_kv(k)
+                        vq, vs = _quantize_kv(v)
+                        ks = ks.astype(ks_c.dtype)
+                        vs = vs.astype(vs_c.dtype)
+                    else:
+                        kq = k.astype(k_c.dtype)
+                        vq = v.astype(v_c.dtype)
+                        ks = vs = None
+
+                    def masked(new, old_arr):
+                        old = old_arr[ll, wpage, woff]
+                        m = act.reshape((mb,) + (1,) * (new.ndim - 1))
+                        return jnp.where(m, new, old)
+
+                    k_c = k_c.at[ll, wpage, woff].set(masked(kq.astype(k_c.dtype), k_c))
+                    v_c = v_c.at[ll, wpage, woff].set(masked(vq.astype(v_c.dtype), v_c))
+                    if ks is not None:
+                        # pool scales are position-major [.., ps, Hkv]
+                        ks_c = ks_c.at[ll, wpage, woff].set(masked(ks, ks_c))
+                        vs_c = vs_c.at[ll, wpage, woff].set(masked(vs, vs_c))
+                    # gathered logical window view (paged tradeoff)
+                    k_all = k_c[ll][table_mb].reshape(
+                        mb, l_virt, p.n_kv_heads, p.head_dim)
+                    v_all = v_c[ll][table_mb].reshape(
+                        mb, l_virt, p.n_kv_heads, p.head_dim)
+                    if quantized:
+                        ksl = ks_c[ll][table_mb].reshape(
+                            mb, l_virt, p.n_kv_heads).transpose(0, 2, 1)
+                        vsl = vs_c[ll][table_mb].reshape(
+                            mb, l_virt, p.n_kv_heads).transpose(0, 2, 1)
+                    else:
+                        ksl = vsl = None
+                    return _gqa_decode_attention(
+                        q.reshape(mb, p.n_heads * p.head_dim),
+                        k_all, v_all, ksl, vsl, read_mask, p, x.dtype)
+
+                x = _forward_block(view, "L", x, p, attn_fn, mm=_island_mm(1))
+            emit = jnp.logical_and(stage == pp - 1, valid)
+            upd = jax.lax.dynamic_update_slice(xs_final, x, (row0, 0))
+            xs_final = jnp.where(emit, upd, xs_final)
+            x = jax.lax.ppermute(
+                x, "pp", [(i, (i + 1) % pp) for i in range(pp)])
+        xs_final = jax.lax.psum(
+            jnp.where(stage == pp - 1, xs_final, jnp.zeros_like(xs_final)), "pp")
+        logits = _logits_shared(shr, xs_final, p)
+        logits = jnp.where(pos[:, None] >= 0, logits, 0.0)
+        return logits, k_c, v_c, ks_c, vs_c
+
+    args = (stacks, shared, tokens, page_table, positions, cache.k, cache.v,
+            cache.k_scale if quantized else jnp.zeros((), jnp.float32),
+            cache.v_scale if quantized else jnp.zeros((), jnp.float32))
+    in_specs = (spec_tree_stacks, spec_tree_shared, P(), P(), P(),
+                kv_spec, kv_spec,
+                sc_spec if quantized else P(), sc_spec if quantized else P())
+    out_specs = (P(), kv_spec, kv_spec,
+                 sc_spec if quantized else P(), sc_spec if quantized else P())
+    logits, k_c, v_c, ks_c, vs_c = shard_map(
+        island, mesh=mesh, in_specs=in_specs, out_specs=out_specs,
+        check_rep=False,
+    )(*args)
+    new_cache = PagedKVCache(k=k_c, v=v_c,
+                             k_scale=ks_c if quantized else None,
+                             v_scale=vs_c if quantized else None,
+                             flat=cache.flat)
+    return logits, new_cache
+
+
+def pp_prefill_paged(params: Dict, p: LlamaParams, tokens: jax.Array,
+                     cache, page_table: jax.Array, slot: jax.Array,
+                     length: jax.Array, mesh: Mesh):
+    """Prompt prefill through the layer pipeline into a PagedKVCache.
+    Contract of llama.prefill_paged (the engine guarantees the slot's
+    chain covers the bucket); single microbatch, stage t computes at tick
+    t, each stage writes its local layers' pages only."""
+    from tpuserve.serving.paged_kv import PagedKVCache
+
+    pp = int(mesh.shape["pp"])
+    lp = p.n_layers // pp
+    b, c = tokens.shape
+    ps = cache.page_size
+    quantized = cache.quantized
+
+    stack_keys = [k for k in params if k.startswith(_STACK)]
+    shared = {k: v for k, v in params.items() if not k.startswith(_STACK)}
+    stacks = {k: params[k] for k in stack_keys}
+    spec_tree_stacks = {k: v for k, v in pipeline_pspecs(params).items()
+                        if k.startswith(_STACK)}
+    spec_tree_shared = {k: (dataclasses.replace(v, q=P(), scale=P())
+                            if isinstance(v, QTensor) else P())
+                        for k, v in shared.items()}
+    nd = cache.k.ndim
+    kv_spec = P(*(("pp",) + (None,) * (nd - 1)))
+    sc_spec = P("pp", None, None, None)
+    from jax.experimental.shard_map import shard_map
+
+    def island(stk, shr, toks, table, slot_, length_, k_c, v_c, ks_c, vs_c):
+        stage = jax.lax.axis_index("pp")
+        x = shr["embed/weight"][toks]  # [1, C, D]
+        positions = jnp.arange(c, dtype=jnp.int32)[None, :]
+        cos, sin = rope_cos_sin(positions, p.head_dim, p.rope_theta)
+        cos_q, sin_q = cos[:, :, None, :], sin[:, :, None, :]
+        mask = positions[:, :, None] >= positions[:, None, :]
+        # physical coords of logical positions 0..c-1 in this slot's chain
+        lpos = jnp.arange(c, dtype=jnp.int32)
+        row = jax.lax.dynamic_slice_in_dim(table, slot_, 1, 0)[0]  # [P]
+        page_ids = row[lpos // ps]
+        offsets = lpos % ps
+        x_last = jnp.zeros((b, p.dim), x.dtype)
+        for t in range(pp):
+            valid = stage == t
+            for ll in range(lp):
+                view = _layer_view(stk, ll)
+
+                def attn_fn(q, k, v, ll=ll):
+                    nonlocal k_c, v_c, ks_c, vs_c
+                    q = q.reshape(b, c, p.n_heads, p.head_dim)
+                    k = k.reshape(b, c, p.n_kv_heads, p.head_dim)
+                    v = v.reshape(b, c, p.n_kv_heads, p.head_dim)
+                    q = apply_rope(q, cos_q, sin_q)
+                    k = apply_rope(k, cos_q, sin_q)
+                    if quantized:
+                        kq, ks = _quantize_kv(k[0])
+                        vq, vs = _quantize_kv(v[0])
+                        ks = ks.astype(ks_c.dtype)
+                        vs = vs.astype(vs_c.dtype)
+                    else:
+                        kq = k[0].astype(k_c.dtype)
+                        vq = v[0].astype(v_c.dtype)
+                        ks = vs = None
+
+                    def masked(new, old_arr):
+                        # garbage ticks (stage != t) must not touch pages
+                        old = old_arr[ll, page_ids, offsets]
+                        return jnp.where(valid, new, old)
+
+                    k_c = k_c.at[ll, page_ids, offsets].set(masked(kq.astype(k_c.dtype), k_c))
+                    v_c = v_c.at[ll, page_ids, offsets].set(masked(vq.astype(v_c.dtype), v_c))
+                    if ks is not None:
+                        ks_c = ks_c.at[ll, page_ids, offsets].set(masked(ks, ks_c))
+                        vs_c = vs_c.at[ll, page_ids, offsets].set(masked(vs, vs_c))
+                    return _attention_prefill(q, k, v, mask).reshape(b, c, -1)
+
+                x = _forward_block(view, "L", x, p, attn_fn, mm=_island_mm(1))
+            last = jnp.take_along_axis(
+                x, (length_ - 1)[None, None, None], axis=1)[:, 0, :]
+            x_last = jnp.where(valid & (stage == pp - 1), last, x_last)
+            x = jax.lax.ppermute(
+                x, "pp", [(i, (i + 1) % pp) for i in range(pp)])
+        x_last = jax.lax.psum(
+            jnp.where(stage == pp - 1, x_last, jnp.zeros_like(x_last)), "pp")
+        logits = _logits_shared(shr, x_last, p)
+        return logits, k_c, v_c, ks_c, vs_c
+
+    args = (stacks, shared, tokens, page_table, slot, length,
+            cache.k, cache.v,
+            cache.k_scale if quantized else jnp.zeros((), jnp.float32),
+            cache.v_scale if quantized else jnp.zeros((), jnp.float32))
+    in_specs = (spec_tree_stacks, spec_tree_shared, P(), P(), P(), P(),
+                kv_spec, kv_spec,
+                sc_spec if quantized else P(), sc_spec if quantized else P())
+    out_specs = (P(), kv_spec, kv_spec,
+                 sc_spec if quantized else P(), sc_spec if quantized else P())
+    logits, k_c, v_c, ks_c, vs_c = shard_map(
+        island, mesh=mesh, in_specs=in_specs, out_specs=out_specs,
+        check_rep=False,
+    )(*args)
+    new_cache = PagedKVCache(k=k_c, v=v_c,
+                             k_scale=ks_c if quantized else None,
+                             v_scale=vs_c if quantized else None,
+                             flat=cache.flat)
+    return logits, new_cache

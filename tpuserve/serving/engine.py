@@ -286,7 +286,17 @@ class GenerationEngine:
                 raise BackendError(
                     "pipeline_parallel is exclusive with sequence_parallel")
             if self.config.generation.paged:
-                raise BackendError("pipeline_parallel does not compose with paged KV")
+                # pp x paged v1 (parallel/pipeline.py): pp-only meshes, no
+                # prefix sharing (the suffix-prefill island is not staged)
+                if tp_pp > 1 or dp_pp > 1:
+                    raise BackendError(
+                        "pipeline_parallel x paged KV requires "
+                        "tensor_parallel = data_parallel = 1 (v1)")
+                if bool(getattr(self.config.generation, "prefix_sharing",
+                                False)):
+                    raise BackendError(
+                        "pipeline_parallel x paged KV does not compose "
+                        "with prefix_sharing")
             if self._chunk_size > 0:
                 raise BackendError(
                     "pipeline_parallel does not compose with prefill_chunk (v1)")
@@ -407,11 +417,18 @@ class GenerationEngine:
                     raise BackendError(
                         "paged kv_cache int4 is single-chip (the shared "
                         "pool cannot shard a packed W dim)")
+            if self._pp > 1:
+                flat = False  # pp islands read the 5D pool layout
             self.cache = PagedKVCache.create(
                 self.p, num_pages, ps, quantized=quant_kv, flat=flat,
                 kv_bits=kv_bits,
             )
-            if self.mesh is not None:
+            if self._pp > 1:
+                # pool stages layer-dim over "pp" (parallel/pipeline.py)
+                from tpuserve.parallel.pipeline import shard_paged_cache_pp
+
+                self.cache = shard_paged_cache_pp(self.cache, self.mesh)
+            elif self.mesh is not None:
                 # pool: kv-heads over tp, replicated across dp (pages are a
                 # global resource addressed by per-slot tables — see
                 # shard_paged_cache; dp > 1 costs dp x pool HBM)
@@ -452,7 +469,46 @@ class GenerationEngine:
 
                 self.cache = shard_cache(self.cache, self.mesh)
             self.ptm = None
-        if gen.paged:
+        if gen.paged and self._pp > 1:
+            # pp x paged v1: staged pool, microbatch-rotation decode over
+            # page indirection (parallel/pipeline.py); no prefix sharing,
+            # no speculation (single-round verify island not staged)
+            from tpuserve.parallel import pipeline as pp_mod
+
+            pp_mesh = self.mesh
+
+            def prefill_fn(params, tokens, cache, table, slot, length):
+                return pp_mod.pp_prefill_paged(
+                    params, p, tokens, cache, table, slot, length, pp_mesh)
+
+            def decode_fn(params, tokens, cache, table, positions, sampling,
+                          key, presence, window):
+                logits, cache = pp_mod.pp_decode_step_paged(
+                    params, p, tokens, cache, table, positions, pp_mesh,
+                    window=window)
+                toks, lp, presence = sample_with_logprobs(
+                    logits, sampling, key, presence)
+                return toks, lp, cache, presence
+
+            def decode_multi_fn(params, tokens, cache, table, positions,
+                                sampling, key, presence, window, horizon):
+                def body(carry, _):
+                    toks, cache, pos, key, presence = carry
+                    key, sub = jax.random.split(key)
+                    logits, cache = pp_mod.pp_decode_step_paged(
+                        params, p, toks, cache, table, pos, pp_mesh,
+                        window=window)
+                    toks, lp, presence = sample_with_logprobs(
+                        logits, sampling, sub, presence)
+                    pos = jnp.where(pos >= 0, pos + 1, pos)
+                    return (toks, cache, pos, key, presence), (toks, lp)
+
+                (_, cache, _, _, presence), (out, lps) = jax.lax.scan(
+                    body, (tokens, cache, positions, key, presence), None,
+                    length=horizon)
+                return out, lps, cache, presence
+
+        elif gen.paged:
 
             def prefill_fn(params, tokens, cache, table, slot, length):
                 return llama.prefill_paged(params, p, tokens, cache, table, slot, length)
