@@ -182,3 +182,68 @@ class TestActOrder:
         d_no = np.abs(np.asarray(dequantize(q_no)) - w).max()
         d_ao = np.abs(np.asarray(dequantize(q_ao)) - w).max()
         assert d_ao <= d_no * 1.001
+
+
+class TestLorc:
+    def test_lorc_reduces_weighted_residual(self):
+        from tpuserve.quant.gptq import lorc_factors
+
+        rng = np.random.default_rng(7)
+        k, n = 256, 128
+        w = rng.normal(0, 0.02, (k, n))
+        x = rng.normal(0, 1.0, (1024, k))
+        boost = np.ones(k); boost[rng.choice(k, 4, replace=False)] = 10.0
+        x *= boost
+        h = x.T @ x
+        qt = gptq_quantize(w, h, bits=4, group_size=128)
+        a, b = lorc_factors(w, qt, h, r=16)
+        assert a.shape == (k, 16) and b.shape == (16, n)
+        dq = np.asarray(dequantize(qt), np.float64)
+        resid = w - dq
+        corr = np.asarray(a, np.float64) @ np.asarray(b, np.float64)
+
+        def werr(R):
+            return float(np.trace(R.T @ h @ R))
+
+        assert werr(resid - corr) < 0.6 * werr(resid)
+
+    def test_lorc_serving_path(self):
+        """An engine-shaped param dict with @lorc keys must apply the
+        correction through Llama.apply (models/llama._lorc)."""
+        import jax
+
+        from tpuserve.models import llama as L
+        from tpuserve.models.llama import Llama
+        from tpuserve.quant.gptq import collect_and_quantize_llama
+
+        p = LlamaParams.tiny()
+        params = L.init_params(jax.random.PRNGKey(0), p, dtype=jnp.float32)
+        calib = np.random.default_rng(0).integers(
+            0, p.vocab_size, (8, 64)).astype(np.int32)
+        q0 = collect_and_quantize_llama(dict(params), p, calib, bits=4,
+                                        group_size=32)
+        q32 = collect_and_quantize_llama(dict(params), p, calib, bits=4,
+                                         group_size=32, lowrank_r=8)
+        assert any(k.endswith("@lorc_a") for k in q32)
+        arch = Llama.__new__(Llama)
+        arch.params_cfg = {k: getattr(p, k) for k in (
+            "vocab_size", "dim", "n_layers", "n_heads", "n_kv_heads",
+            "head_dim", "ffn_dim", "rope_theta", "rms_eps", "tie_embeddings")}
+        toks = np.random.default_rng(1).integers(
+            0, p.vocab_size, (2, 16)).astype(np.int32)
+        lg_fp = np.asarray(arch.apply(params, {"input_ids": jnp.asarray(toks)})["logits"], np.float64)
+        lg_0 = np.asarray(arch.apply(q0, {"input_ids": jnp.asarray(toks)})["logits"], np.float64)
+        lg_32 = np.asarray(arch.apply(q32, {"input_ids": jnp.asarray(toks)})["logits"], np.float64)
+        # correction must move logits toward fp32
+        assert np.abs(lg_32 - lg_fp).mean() < np.abs(lg_0 - lg_fp).mean()
+
+    def test_lorc_config_gate(self):
+        from tpuserve.repository.config import QuantizationConfig
+        from tpuserve.utils.errors import InvalidArgumentError
+
+        cfg = QuantizationConfig.from_dict(
+            {"weights": "int4", "method": "gptq", "lowrank_correction": 32})
+        assert cfg.lowrank_correction == 32
+        with pytest.raises(InvalidArgumentError):
+            QuantizationConfig.from_dict(
+                {"weights": "int4", "method": "rtn", "lowrank_correction": 32})

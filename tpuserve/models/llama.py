@@ -133,6 +133,22 @@ def init_params(rng: jax.Array, p: LlamaParams, dtype=jnp.bfloat16) -> Dict[str,
     return params
 
 
+def _lorc(params: Dict, name: str, x: jax.Array, out: jax.Array) -> jax.Array:
+    """Low-rank error correction (ZeroQuant-V2-style LoRC): when the
+    quantizer stored a rank-r factorization of its residual under
+    `{name}@lorc_a` / `{name}@lorc_b` ([K, r], [r, N], bf16), add
+    (x @ A) @ B to the quantized matmul's output. 2r(K+N) extra weight
+    bytes and FLOPs per token — a few % at r<=32 — for the accuracy the
+    int4 grid alone cannot reach (quant/gptq.py lowrank_r)."""
+    a = params.get(f"{name}@lorc_a")
+    if a is None:
+        return out
+    b = params[f"{name}@lorc_b"]
+    corr = jnp.dot(jnp.dot(x.astype(a.dtype), a), b,
+                   preferred_element_type=jnp.float32)
+    return (out.astype(jnp.float32) + corr).astype(out.dtype)
+
+
 def _mm(params: Dict, name: str, x: jax.Array) -> jax.Array:
     w = params[name]
     if isinstance(w, QTensor):
@@ -144,7 +160,7 @@ def _mm(params: Dict, name: str, x: jax.Array) -> jax.Array:
         mesh = active_mesh()
         if mesh is not None and mesh.devices.size > 1:
             return qmatmul_sharded(x, w, name, mesh)
-        return qmatmul(x, w)
+        return _lorc(params, name, x, qmatmul(x, w))
     return jnp.dot(x, w.astype(x.dtype), preferred_element_type=jnp.float32).astype(x.dtype)
 
 
@@ -443,7 +459,7 @@ def _mm_direct(params: Dict, name: str, x: jax.Array) -> jax.Array:
     """Name-keyed matmul WITHOUT mesh routing — for code already inside a
     shard_map island (e.g. the pipeline-parallel stage loop), where nested
     shard_map is illegal and the island owns the partitioning."""
-    return _mm_w(x, params[name])
+    return _lorc(params, name, x, _mm_w(x, params[name]))
 
 
 def _forward_block(params, pre, x, p: LlamaParams, attn_fn, mm=None):

@@ -170,11 +170,42 @@ def gptq_quantize(w, h, bits: int = 4, group_size: int = 128,
                    group_size=gs if groups > 1 else 0, orig_shape=(k, n))
 
 
+def lorc_factors(w, qt, h, r: int, dtype=None):
+    """Rank-r Hessian-weighted factorization of the quantization residual
+    (ZeroQuant-V2-style LoRC): minimize ||L^T (R - A B)||_F over rank-r
+    A [K, r], B [r, N], where R = W - dq(Wq) and H = L L^T is the layer's
+    calibration Hessian — the weighted SVD puts the correction exactly in
+    the directions the activation covariance says matter. Serving applies
+    out += (x @ A) @ B (models/llama._lorc). Returns (A, B) in `dtype`
+    (bf16 default: 2r(K+N) extra bytes)."""
+    import jax.numpy as jnp
+
+    from tpuserve.quant.core import dequantize
+
+    w = np.asarray(w, np.float64)
+    k = w.shape[0]
+    resid = w - np.asarray(dequantize(qt), np.float64)
+    h = np.asarray(h, np.float64).copy()
+    d = np.diag(h).copy()
+    d[d <= 0] = 1.0
+    h[np.arange(k), np.arange(k)] = d * (1.0 + 1e-6)
+    h += 1e-8 * float(np.mean(d)) * np.eye(k)
+    l = np.linalg.cholesky((h + h.T) / 2.0)
+    u, s, vt = np.linalg.svd(l.T @ resid, full_matrices=False)
+    r = min(r, len(s))
+    # A = L^-T U_r S_r  (solve instead of inverting)
+    a = np.linalg.solve(l.T, u[:, :r] * s[:r][None, :])
+    b = vt[:r, :]
+    dt = jnp.bfloat16 if dtype is None else dtype
+    return jnp.asarray(a, dt), jnp.asarray(b, dt)
+
+
 def collect_and_quantize_llama(params: Dict, p, tokens,
                                bits: int = 4, group_size: int = 128,
                                percdamp: float = 0.01,
                                quantize_lm_head: bool = True,
                                act_scale: bool = False,
+                               lowrank_r: int = 0,
                                progress=None) -> Dict:
     """Sequentially GPTQ-quantize a Llama param dict.
 
@@ -282,6 +313,10 @@ def collect_and_quantize_llama(params: Dict, p, tokens,
                                       bits=bits, group_size=group_size,
                                       percdamp=percdamp,
                                       n_samples=n_samples)
+            if lowrank_r > 0:
+                a, b_ = lorc_factors(np.asarray(w, np.float32), out[name],
+                                     h, lowrank_r)
+                out[f"{name}@lorc_a"], out[f"{name}@lorc_b"] = a, b_
             if progress:
                 progress(name)
 
@@ -293,10 +328,15 @@ def collect_and_quantize_llama(params: Dict, p, tokens,
             hs_fin = {"lm_head/kernel": hfin}
             fold_act_scale("final_norm", ("lm_head/kernel",), hs_fin)
             hfin = hs_fin["lm_head/kernel"]
+        w_head = np.asarray(out["lm_head/kernel"], np.float32)
         out["lm_head/kernel"] = gptq_quantize(
-            np.asarray(out["lm_head/kernel"], np.float32), hfin,
-            bits=bits, group_size=group_size, percdamp=percdamp,
-            n_samples=n_samples)
+            w_head, hfin, bits=bits, group_size=group_size,
+            percdamp=percdamp, n_samples=n_samples)
+        if lowrank_r > 0:
+            a, b_ = lorc_factors(w_head, out["lm_head/kernel"], hfin,
+                                 lowrank_r)
+            out["lm_head/kernel@lorc_a"] = a
+            out["lm_head/kernel@lorc_b"] = b_
         if progress:
             progress("lm_head/kernel")
     return out

@@ -98,6 +98,11 @@ class QuantizationConfig:
     # token file for gptq; "synthetic" draws random tokens (fixture use).
     method: str = "rtn"  # rtn | gptq
     calibration: str = "synthetic"
+    # Low-rank error correction (LoRC): store a rank-r bf16 factorization
+    # of each gptq-quantized kernel's residual and add (x@A)@B at serving
+    # time — 2r(K+N) extra bytes/FLOPs per kernel (a few % at r<=32) for
+    # accuracy the int4 grid alone cannot reach. gptq-only; 0 = off.
+    lowrank_correction: int = 0
 
     @classmethod
     def from_dict(cls, d: Optional[Dict[str, Any]]) -> "QuantizationConfig":
@@ -110,12 +115,16 @@ class QuantizationConfig:
             kv_scale_dtype=str(d.get("kv_scale_dtype", "bfloat16")).lower(),
             method=str(d.get("method", "rtn")).lower(),
             calibration=str(d.get("calibration", "synthetic")),
+            lowrank_correction=int(d.get("lowrank_correction", 0)),
         )
         if cfg.method not in ("rtn", "gptq"):
             raise InvalidArgumentError(f"unsupported quantization method '{cfg.method}'")
         if cfg.method == "gptq" and cfg.activations != "none":
             raise InvalidArgumentError(
                 "quantization.method 'gptq' composes with bf16 activations only")
+        if cfg.lowrank_correction and cfg.method != "gptq":
+            raise InvalidArgumentError(
+                "quantization.lowrank_correction requires method 'gptq'")
         if cfg.weights not in ("none", "int8", "int4"):
             raise InvalidArgumentError(f"unsupported weight quantization '{cfg.weights}'")
         if cfg.kv_cache not in ("none", "int8", "int4"):

@@ -211,7 +211,8 @@ class GenerationEngine:
                 0, self.p.vocab_size, (16, 128)).astype(np.int32)
         t0 = time.monotonic()
         params = collect_and_quantize_llama(
-            raw, self.p, tokens, bits=bits, group_size=qcfg.group_size)
+            raw, self.p, tokens, bits=bits, group_size=qcfg.group_size,
+            lowrank_r=int(getattr(qcfg, "lowrank_correction", 0) or 0))
         if self.p.n_experts:
             params = quantize_param_tree(
                 params, bits=bits, group_size=qcfg.group_size,
@@ -374,6 +375,11 @@ class GenerationEngine:
             )
         quant_kv = qcfg.kv_cache in ("int8", "int4")
         kv_bits = 4 if qcfg.kv_cache == "int4" else 8
+        if int(getattr(qcfg, "lowrank_correction", 0) or 0) > 0 and (
+                self.mesh is not None):
+            raise BackendError(
+                "quantization.lowrank_correction is single-chip (v1): the "
+                "rank-r correction factors are not sharded")
         kv_pack_chunks = 1
         if kv_bits == 4:
             # packed int4 KV: flat caches/pools only (pack convention is
