@@ -34,7 +34,7 @@ from tpuserve.repository.config import ModelConfig
 from tpuserve.serving.engine import GenerationEngine
 
 
-def build(root: str, name: str, spec_k: int) -> GenerationEngine:
+def build(root: str, name: str, spec_k: int, rounds: int = 4) -> GenerationEngine:
     vdir = os.path.join(root, name, "1")
     os.makedirs(vdir, exist_ok=True)
     slots = int(os.environ.get("TPUSERVE_SPEC_BENCH_SLOTS", "8"))
@@ -42,12 +42,18 @@ def build(root: str, name: str, spec_k: int) -> GenerationEngine:
         "name": name, "platform": "llm", "architecture": "llama",
         "inputs": [{"name": "input_ids", "shape": [1, -1], "data_type": "INT32"}],
         "outputs": [{"name": "output_ids", "shape": [1, -1], "data_type": "INT32"}],
-        "model_params": {"vocab_size": 32000, "dim": 4096, "n_layers": 32,
-                         "n_heads": 32, "n_kv_heads": 32, "head_dim": 128,
-                         "ffn_dim": 11008, "init": "random_quantized"},
+        "model_params": (
+            {"vocab_size": 2048, "dim": 256, "n_layers": 2, "n_heads": 4,
+             "n_kv_heads": 4, "head_dim": 64, "ffn_dim": 512,
+             "init": "random_quantized"}
+            if os.environ.get("TPUSERVE_SPEC_BENCH_MODEL") == "small" else
+            {"vocab_size": 32000, "dim": 4096, "n_layers": 32,
+             "n_heads": 32, "n_kv_heads": 32, "head_dim": 128,
+             "ffn_dim": 11008, "init": "random_quantized"}),
         "generation": {"max_seq_len": 512, "max_slots": slots,
                        "eos_token_id": -1, "max_new_tokens": 256,
                        "speculation_tokens": spec_k,
+                       "speculation_rounds": rounds,
                        # compile-surface knob: horizon>1 compiles a full-7B
                        # H-step scan per distinct horizon (~20 min fresh);
                        # diagnostics pin it to 1
@@ -67,12 +73,21 @@ def build(root: str, name: str, spec_k: int) -> GenerationEngine:
     return eng
 
 
-def drive(eng: GenerationEngine, tag: str) -> dict:
-    """Submit a repetitive prompt per wave and total the delivered
-    tokens/s across two waves (first wave warms compile paths)."""
+def _prompts(kind: str, slots: int, vocab: int):
     rng = np.random.default_rng(0)
-    period = rng.integers(100, 32000, 12).tolist()
-    prompt = (period * 10)[:96]  # strongly periodic -> prompt-lookup hits
+    hi = vocab - 1
+    if kind == "repetitive":
+        period = rng.integers(100, hi, 12).tolist()
+        return [(period * 10)[:96]] * slots  # periodic -> prompt-lookup hits
+    # random: i.i.d. tokens, distinct per slot — no n-gram recurrences, the
+    # O(1) gate must keep the engine on the plain decode horizon
+    return [rng.integers(100, hi, 96).tolist() for _ in range(slots)]
+
+
+def drive(eng: GenerationEngine, tag: str, kind: str) -> dict:
+    """Submit one prompt per slot and total the delivered tokens/s across
+    two waves (first wave warms compile paths)."""
+    prompts = _prompts(kind, eng.n_slots, eng.p.vocab_size)
     new_tokens = int(os.environ.get("TPUSERVE_SPEC_BENCH_NEW", "192"))
     slots = eng.n_slots
 
@@ -81,21 +96,21 @@ def drive(eng: GenerationEngine, tag: str) -> dict:
 
         t0 = time.time()
         with cf.ThreadPoolExecutor(max_workers=slots) as ex:
-            futs = [ex.submit(eng.generate, prompt,
-                              max_new_tokens=new_tokens)
-                    for _ in range(slots)]
+            futs = [ex.submit(eng.generate, pr, max_new_tokens=new_tokens)
+                    for pr in prompts]
             outs = [f.result() for f in futs]
         dt = time.time() - t0
         produced = sum(o["num_generated"] for o in outs)
         return produced / dt, outs
 
+    d0 = eng.spec_drafted
+    a0 = eng.spec_accepted
     wave()  # warm (compile + cache pressure)
     tps, outs = wave()
-    stats = eng.serving_stats()
-    drafted = stats.get("spec_drafted", 0)
-    accepted = stats.get("spec_accepted", 0)
+    drafted = eng.spec_drafted - d0
+    accepted = eng.spec_accepted - a0
     acc = accepted / drafted if drafted else None
-    print(f"# {tag}: {tps:.0f} tok/s delivered"
+    print(f"# {tag}/{kind}: {tps:.0f} tok/s delivered"
           + (f", acceptance {acc:.2f} ({accepted}/{drafted})" if acc is not None else ""),
           file=sys.stderr, flush=True)
     return {"tokens_per_s": round(tps, 1), "spec_drafted": int(drafted),
@@ -105,20 +120,28 @@ def drive(eng: GenerationEngine, tag: str) -> dict:
 
 def main():
     k = int(os.environ.get("TPUSERVE_SPEC_BENCH_K", "8"))
+    rounds = int(os.environ.get("TPUSERVE_SPEC_BENCH_ROUNDS", "4"))
     with tempfile.TemporaryDirectory() as root:
         eng_off = build(root, "base7b", 0)
-        off = drive(eng_off, "spec OFF")
+        off_rep = drive(eng_off, "spec OFF", "repetitive")
+        off_rand = drive(eng_off, "spec OFF", "random")
         eng_off.stop()
-        eng_on = build(root, "spec7b", k)
-        on = drive(eng_on, f"spec ON k={k}")
+        eng_on = build(root, "spec7b", k, rounds=rounds)
+        on_rep = drive(eng_on, f"spec ON k={k} R={rounds}", "repetitive")
+        on_rand = drive(eng_on, f"spec ON k={k} R={rounds}", "random")
         eng_on.stop()
-    speedup = on["tokens_per_s"] / off["tokens_per_s"]
-    result = {"metric": "speculation_7b_int4_repetitive",
-              "spec_off": off, "spec_on": on,
-              "speedup": round(speedup, 3)}
+    result = {"metric": "speculation_7b_int4",
+              "spec_rounds": rounds,
+              "repetitive": {"spec_off": off_rep, "spec_on": on_rep,
+                             "speedup": round(on_rep["tokens_per_s"]
+                                              / off_rep["tokens_per_s"], 3)},
+              "random": {"spec_off": off_rand, "spec_on": on_rand,
+                         "speedup": round(on_rand["tokens_per_s"]
+                                          / off_rand["tokens_per_s"], 3)}}
     print(json.dumps(result))
-    if on["spec_drafted"] == 0:
-        print("SPEC_BENCH FAILED: no drafts fired", file=sys.stderr)
+    if on_rep["spec_drafted"] == 0:
+        print("SPEC_BENCH FAILED: no drafts fired on the repetitive "
+              "workload", file=sys.stderr)
         sys.exit(1)
     print("SPEC_BENCH DONE", file=sys.stderr)
 

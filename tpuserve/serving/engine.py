@@ -89,9 +89,10 @@ class _SlotState:
     # replaced the O(S*L) numpy scan per dispatch
     ngram_idx: Dict[tuple, int] = dataclasses.field(default_factory=dict)
     ngram_synced: int = 0
-    # acceptance EMA (accepted/drafted per verify round) for the
-    # break-even guard; starts optimistic so new slots get probed
-    acc_ema: float = 1.0
+    # EMA of ACCEPTED DRAFT TOKENS per verify round (a count, not a
+    # fraction) for the break-even guard; starts optimistic (k-ish) so
+    # new slots get probed — set properly on first admission
+    acc_ema: float = 8.0
 
 
 class GenerationEngine:
@@ -1152,12 +1153,13 @@ class GenerationEngine:
 
         # break-even guard: a C-wide verify round costs ~1.3x a decode
         # step (.r3_verify_profile.log), so the EXPECTED extra tokens per
-        # slot per round must clear speculation_min_gain or plain decode
+        # slot per round (per-slot EMA of accepted drafts/round, counted,
+        # not a fraction) must clear speculation_min_gain or plain decode
         # wins. EMAs refresh via a periodic probe dispatch so a workload
         # shift can re-enable speculation.
         min_gain = float(getattr(gen, "speculation_min_gain", 0.0) or 0.0)
         exp_gain = sum(
-            self._slots[i].acc_ema * spec_k for i in active if match[i]
+            min(self._slots[i].acc_ema, spec_k) for i in active if match[i]
         ) / len(active)
         if exp_gain < min_gain:
             self._spec_probe += 1
@@ -1214,7 +1216,7 @@ class GenerationEngine:
                 a = min(int(acc[r, i]), kr)
                 self.spec_drafted += kr
                 if kr > 0:
-                    st.acc_ema = 0.7 * st.acc_ema + 0.3 * (a / kr)
+                    st.acc_ema = 0.7 * st.acc_ema + 0.3 * a
                 for j in range(a + 1):
                     st.next_pos += 1
                     st.generated += 1
