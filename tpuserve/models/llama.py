@@ -433,6 +433,16 @@ def unpack_kv_codes(packed: jax.Array, chunks: int = 1) -> jax.Array:
                            axis=-1).astype(jnp.int8)
 
 
+def _pad_heads(x: jax.Array, hp: int) -> jax.Array:
+    """[.., Hkv] -> [.., hp] zero-padded — paged scale pools store
+    pad8(Hkv) head-major rows per page (Mosaic sublane minimum)."""
+    pad = hp - x.shape[-1]
+    if pad <= 0:
+        return x
+    return jnp.concatenate(
+        [x, jnp.zeros(x.shape[:-1] + (pad,), x.dtype)], axis=-1)
+
+
 def _unpack_if_int4(arr: jax.Array, chunks: int = 1) -> jax.Array:
     """XLA read-path helper: packed int4 cache slices unpack in-graph
     (uint8 anywhere in a KV read = packed int4)."""
@@ -1299,11 +1309,12 @@ def prefill_paged(params, p: LlamaParams, tokens: jax.Array, cache,
                 kq, vq = kq.reshape(l, -1), vq.reshape(l, -1)
                 if new_cache.k.dtype == jnp.uint8:  # packed int4 pool
                     kq, vq = pack_kv_codes(kq), pack_kv_codes(vq)
+            hp = new_cache.k_scale.shape[2] if ks is not None else 0
             new_cache = PagedKVCache(
                 k=new_cache.k.at[layer, page_ids, offsets].set(kq.astype(new_cache.k.dtype)),
                 v=new_cache.v.at[layer, page_ids, offsets].set(vq.astype(new_cache.v.dtype)),
-                k_scale=None if ks is None else new_cache.k_scale.at[layer, page_ids, offsets].set(ks),
-                v_scale=None if vs is None else new_cache.v_scale.at[layer, page_ids, offsets].set(vs),
+                k_scale=None if ks is None else new_cache.k_scale.at[layer, page_ids, :, offsets].set(_pad_heads(ks, hp)),
+                v_scale=None if vs is None else new_cache.v_scale.at[layer, page_ids, :, offsets].set(_pad_heads(vs, hp)),
                 flat=new_cache.flat,
             )
             out = _attention_prefill(q, k, v, mask)
@@ -1388,11 +1399,17 @@ def prefill_paged_suffix(params, p: LlamaParams, tokens: jax.Array, cache,
                 m = wvalid.reshape((c,) + (1,) * (new.ndim - 1))
                 return jnp.where(m, new, old)
 
+            hp = new_cache.k_scale.shape[2] if ks is not None else 0
+
+            def masked_sc(new, old_arr):
+                old = old_arr[layer, wpage, :, woff]
+                return jnp.where(wvalid[:, None], _pad_heads(new, hp), old)
+
             new_cache = PagedKVCache(
                 k=new_cache.k.at[layer, wpage, woff].set(masked(kq.astype(new_cache.k.dtype), new_cache.k)),
                 v=new_cache.v.at[layer, wpage, woff].set(masked(vq.astype(new_cache.v.dtype), new_cache.v)),
-                k_scale=None if ks is None else new_cache.k_scale.at[layer, wpage, woff].set(masked(ks, new_cache.k_scale)),
-                v_scale=None if vs is None else new_cache.v_scale.at[layer, wpage, woff].set(masked(vs, new_cache.v_scale)),
+                k_scale=None if ks is None else new_cache.k_scale.at[layer, wpage, :, woff].set(masked_sc(ks, new_cache.k_scale)),
+                v_scale=None if vs is None else new_cache.v_scale.at[layer, wpage, :, woff].set(masked_sc(vs, new_cache.v_scale)),
                 flat=new_cache.flat,
             )
             # gathered logical window view [win, Hkv, hd] (prefix pages +
@@ -1410,14 +1427,20 @@ def prefill_paged_suffix(params, p: LlamaParams, tokens: jax.Array, cache,
                 preferred_element_type=jnp.float32,
             )  # [C, Hkv, rep, win]
             if new_cache.quantized:
-                ksc = new_cache.k_scale[layer, row].reshape(l_virt, p.n_kv_heads)
-                scores = scores * jnp.transpose(ksc, (1, 0))[None, :, None, :]
+                # pool scales are head-major [P, HP, ps]: permute+merge to
+                # [Hkv, l_virt] (suffix prefill only — decode reads pools
+                # in place through the kernel)
+                hp_r = new_cache.k_scale.shape[2]
+                ksc = new_cache.k_scale[layer, row].transpose(1, 0, 2).reshape(
+                    hp_r, l_virt)[: p.n_kv_heads]
+                scores = scores * ksc[None, :, None, :]
             scores = scores / math.sqrt(p.head_dim)
             scores = jnp.where(mask[:, None, None, :], scores, -1e30)
             probs = jax.nn.softmax(scores, axis=-1)
             if new_cache.quantized:
-                vsc = new_cache.v_scale[layer, row].reshape(l_virt, p.n_kv_heads)
-                probs = probs * jnp.transpose(vsc, (1, 0))[None, :, None, :]
+                vsc = new_cache.v_scale[layer, row].transpose(1, 0, 2).reshape(
+                    new_cache.v_scale.shape[2], l_virt)[: p.n_kv_heads]
+                probs = probs * vsc[None, :, None, :]
             out = jnp.einsum(
                 "cgrl,lgd->cgrd", probs.astype(cdt), v_all.astype(cdt),
                 preferred_element_type=jnp.float32,
@@ -1491,26 +1514,33 @@ def decode_step_paged(params, p: LlamaParams, tokens: jax.Array, cache,
                 kq, vq = kq.reshape(s, -1), vq.reshape(s, -1)
                 if new_cache.k.dtype == jnp.uint8:  # packed int4 pool
                     kq, vq = pack_kv_codes(kq), pack_kv_codes(vq)
+            hp = new_cache.k_scale.shape[2] if ks is not None else 0
+
+            def masked_sc(new, old_arr):
+                old = old_arr[layer, wpage, :, woff]
+                return jnp.where(active[:, None], _pad_heads(new, hp), old)
+
             new_cache = PagedKVCache(
                 k=new_cache.k.at[layer, wpage, woff].set(masked(kq.astype(new_cache.k.dtype), new_cache.k)),
                 v=new_cache.v.at[layer, wpage, woff].set(masked(vq.astype(new_cache.v.dtype), new_cache.v)),
-                k_scale=None if ks is None else new_cache.k_scale.at[layer, wpage, woff].set(masked(ks, new_cache.k_scale)),
-                v_scale=None if vs is None else new_cache.v_scale.at[layer, wpage, woff].set(masked(vs, new_cache.v_scale)),
+                k_scale=None if ks is None else new_cache.k_scale.at[layer, wpage, :, woff].set(masked_sc(ks, new_cache.k_scale)),
+                v_scale=None if vs is None else new_cache.v_scale.at[layer, wpage, :, woff].set(masked_sc(vs, new_cache.v_scale)),
                 flat=new_cache.flat,
             )
 
-            if new_cache.quantized:
-                # scales are gathered either way (S*win*Hkv*4 bytes, ~1.5%
-                # of the KV read) — the kernel takes them pre-gathered
-                # head-major for the kernel / _gqa contract (pool layout is
-                # [pages, ps, Hkv]; the transpose rides the gather it
-                # already pays — serving/paged_kv.py's documented tradeoff)
-                k_scale = new_cache.k_scale[layer][page_table].reshape(
-                    s, l_virt, p.n_kv_heads).transpose(0, 2, 1)
-                v_scale = new_cache.v_scale[layer][page_table].reshape(
-                    s, l_virt, p.n_kv_heads).transpose(0, 2, 1)
-            else:
-                k_scale = v_scale = None
+            def gathered_scales():
+                # fallback paths only: pool scales are head-major
+                # [P, HP, ps] pages; permute+merge to [S, Hkv, l_virt].
+                # The single-chip kernel reads the POOL in place instead —
+                # this gather+transpose measured ~6.7% of 7B step bytes
+                # (the round-3 "paged gap").
+                if not new_cache.quantized:
+                    return None, None
+                ksq = new_cache.k_scale[layer][page_table].transpose(
+                    0, 2, 1, 3).reshape(s, hp, l_virt)[:, : p.n_kv_heads]
+                vsq = new_cache.v_scale[layer][page_table].transpose(
+                    0, 2, 1, 3).reshape(s, hp, l_virt)[:, : p.n_kv_heads]
+                return ksq, vsq
 
             use_kernel = _decode_attn_mode(p) == "pallas" and ps % 8 == 0
             if use_kernel and jax.devices()[0].platform == "tpu" and not new_cache.flat:
@@ -1541,6 +1571,12 @@ def decode_step_paged(params, p: LlamaParams, tokens: jax.Array, cache,
                 # extra HBM pass per layer)
                 from tpuserve.ops.decode_attention import decode_attention_wide_paged
 
+                if attn_mesh is None and new_cache.quantized:
+                    # single-chip: hand the kernel the SCALE POOLS — read
+                    # in place through the page-indexed channel
+                    k_scale, v_scale = new_cache.k_scale, new_cache.v_scale
+                else:
+                    k_scale, v_scale = gathered_scales()
                 args = (
                     q / math.sqrt(p.head_dim),
                     new_cache.k,
@@ -1565,6 +1601,7 @@ def decode_step_paged(params, p: LlamaParams, tokens: jax.Array, cache,
             k_all = kp.reshape(s, l_virt, p.n_kv_heads, p.head_dim)
             v_all = _unpack_if_int4(new_cache.v[layer][page_table]).reshape(
                 s, l_virt, p.n_kv_heads, p.head_dim)
+            k_scale, v_scale = gathered_scales()
             return _gqa_decode_attention(
                 q.reshape(s, -1), k_all, v_all, k_scale, v_scale, read_mask, p, x.dtype
             )
@@ -1642,11 +1679,17 @@ def verify_step_paged(params, p: LlamaParams, tokens: jax.Array, cache,
                 kq, vq = kq.reshape(s, c, -1), vq.reshape(s, c, -1)
                 if new_cache.k.dtype == jnp.uint8:  # packed int4 pool
                     kq, vq = pack_kv_codes(kq), pack_kv_codes(vq)
+            hp = new_cache.k_scale.shape[2] if ks is not None else 0
+
+            def masked_sc(new, old_arr):
+                old = old_arr[layer, wpage, :, woff]
+                return jnp.where(valid[:, :, None], _pad_heads(new, hp), old)
+
             new_cache = PagedKVCache(
                 k=new_cache.k.at[layer, wpage, woff].set(masked(kq.astype(new_cache.k.dtype), new_cache.k)),
                 v=new_cache.v.at[layer, wpage, woff].set(masked(vq.astype(new_cache.v.dtype), new_cache.v)),
-                k_scale=None if ks is None else new_cache.k_scale.at[layer, wpage, woff].set(masked(ks, new_cache.k_scale)),
-                v_scale=None if vs is None else new_cache.v_scale.at[layer, wpage, woff].set(masked(vs, new_cache.v_scale)),
+                k_scale=None if ks is None else new_cache.k_scale.at[layer, wpage, :, woff].set(masked_sc(ks, new_cache.k_scale)),
+                v_scale=None if vs is None else new_cache.v_scale.at[layer, wpage, :, woff].set(masked_sc(vs, new_cache.v_scale)),
                 flat=new_cache.flat,
             )
 
@@ -1656,10 +1699,10 @@ def verify_step_paged(params, p: LlamaParams, tokens: jax.Array, cache,
             v_all = _unpack_if_int4(new_cache.v[layer][page_table]).reshape(
                 s, l_virt, p.n_kv_heads, p.head_dim)
             if new_cache.quantized:
-                k_scale = new_cache.k_scale[layer][page_table].reshape(
-                    s, l_virt, p.n_kv_heads).transpose(0, 2, 1)
-                v_scale = new_cache.v_scale[layer][page_table].reshape(
-                    s, l_virt, p.n_kv_heads).transpose(0, 2, 1)
+                k_scale = new_cache.k_scale[layer][page_table].transpose(
+                    0, 2, 1, 3).reshape(s, hp, l_virt)[:, : p.n_kv_heads]
+                v_scale = new_cache.v_scale[layer][page_table].transpose(
+                    0, 2, 1, 3).reshape(s, hp, l_virt)[:, : p.n_kv_heads]
             else:
                 k_scale = v_scale = None
             n_rep = p.n_heads // p.n_kv_heads

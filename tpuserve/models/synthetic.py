@@ -60,6 +60,7 @@ def init_params_anisotropic(
     p: LlamaParams,
     *,
     rank_frac: float = 1.0 / 16.0,
+    spectrum_alpha: float = 0.75,
     subspace_leak: float = 0.08,
     massive_frac: float = 0.01,
     massive_scale: float = 10.0,
@@ -71,6 +72,13 @@ def init_params_anisotropic(
 
     Keys/shapes identical to llama.init_params, so the result drops into
     the real serving path (quantize_param_tree, GPTQ, Llama.apply).
+
+    spectrum_alpha: the residual subspace's directions carry power-law
+    energies s_i ∝ (i+1)^-alpha (normalized to unit mean square) — real
+    activation covariance spectra decay, they are not flat over an
+    r-dimensional ball; a flat spectrum both understates trained-model
+    compressibility and makes low-rank structure meaningless below
+    exactly rank r. 0 = flat (the round-4 first cut).
     """
     r = max(4, int(round(p.dim * rank_frac)))
 
@@ -81,6 +89,10 @@ def init_params_anisotropic(
 
     std = 0.02
     basis = _orthonormal_rows(nxt(), r, p.dim)  # [r, dim]
+    if spectrum_alpha > 0:
+        pl = (jnp.arange(1, r + 1, dtype=jnp.float32) ** (-spectrum_alpha))
+        pl = pl / jnp.sqrt(jnp.mean(pl ** 2))
+        basis = basis * pl[:, None]
     # residual-subspace projector with epsilon full-rank leakage
     proj = basis.T @ basis  # [dim, dim]
 

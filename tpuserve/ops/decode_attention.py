@@ -150,13 +150,30 @@ def _unpack_nibbles(packed, biased=False):
 def _wide_kernel(pos_ref, qw_ref, qs_ref, k_ref, v_ref, ks_ref, vs_ref,
                  o_ref, m_ref, l_ref, acc_ref, qw_scr_ref=None, *, block_l,
                  n_kv, rep, hd, kv_int8, quantized, pos_base=0, sc_block=None,
-                 inline_qw=False, kv_bits=8):
+                 inline_qw=False, kv_bits=8, paged_sc=False):
     i = pl.program_id(0)
     j = pl.program_id(1)
     pos = pos_ref[pos_base + i]
     m_dim = qw_ref.shape[-2]
     if sc_block is None:
         sc_block = block_l
+
+    def _paged_sc_rows(ref):
+        # scale PAGE read in place: [1, pad8(Hkv), ps] head-major block
+        # fetched through the same page-indexed channel as K/V (no
+        # per-layer gather+transpose pass — the measured ~6.7% "paged
+        # gap" at 7B). Expand Hkv rows to the M query rows (row m reads
+        # head m // rep); rep == 1 is a free slice.
+        t = ref[0]  # [HP, ps]
+        if rep == 1:
+            return t[:m_dim].astype(jnp.float32)
+        row_h = jax.lax.broadcasted_iota(
+            jnp.int32, (m_dim, t.shape[-1]), 0) // rep
+        out = jnp.zeros((m_dim, t.shape[-1]), jnp.float32)
+        for hh in range(n_kv):
+            out = jnp.where(row_h == hh, t[hh][None, :].astype(jnp.float32),
+                            out)
+        return out
 
     @pl.when(j == 0)
     def _():
@@ -203,13 +220,17 @@ def _wide_kernel(pos_ref, qw_ref, qs_ref, k_ref, v_ref, ks_ref, vs_ref,
                      preferred_element_type=jnp.int32)
                  - 8 * qsum
                  ).astype(jnp.float32)        # [M, bl]
-            s = s * qs_ref[0] * _subtile(_sc_tile(ks_ref), j, block_l, sc_block)
+            ks_rows = _paged_sc_rows(ks_ref) if paged_sc else _subtile(
+                _sc_tile(ks_ref), j, block_l, sc_block)
+            s = s * qs_ref[0] * ks_rows
         elif kv_int8:
             s = jax.lax.dot_general(
                 qw, kb, (((1,), (1,)), ((), ())),
                 preferred_element_type=jnp.int32,
             ).astype(jnp.float32)             # [M, bl] via int8 MXU
-            s = s * qs_ref[0] * _subtile(_sc_tile(ks_ref), j, block_l, sc_block)
+            ks_rows = _paged_sc_rows(ks_ref) if paged_sc else _subtile(
+                _sc_tile(ks_ref), j, block_l, sc_block)
+            s = s * qs_ref[0] * ks_rows
         else:
             s = jax.lax.dot_general(
                 qw.astype(jnp.float32), kb.astype(jnp.float32),
@@ -232,7 +253,8 @@ def _wide_kernel(pos_ref, qw_ref, qs_ref, k_ref, v_ref, ks_ref, vs_ref,
 
         if quantized:
             # V dequant folded at O(M*bl)
-            p = p * _subtile(_sc_tile(vs_ref), j, block_l, sc_block)
+            p = p * (_paged_sc_rows(vs_ref) if paged_sc else _subtile(
+                _sc_tile(vs_ref), j, block_l, sc_block))
         vb = v_ref[...]
         if kv_bits == 4:
             pmax = jnp.max(jnp.abs(p), axis=1, keepdims=True)
@@ -1075,9 +1097,13 @@ def decode_attention_wide_paged(
     k_pool/v_pool [n_layers, n_pages, ps, W] (flat PagedKVCache layout) or
                 [n_layers, n_pages, ps, Hkv, hd] (5D; copies on TPU — test
                 use only)
-    k_scale_l   this layer's GATHERED scales [S, Hkv, win] f32 head-major
-                or None (scales are S*win*Hkv*4 bytes — gathering them
-                outside is ~1.5% of the KV bytes the kernel saves)
+    k_scale_l   EITHER this layer's gathered scales [S, Hkv, win] f32
+                head-major, OR (preferred) the SCALE POOL
+                [n_layers, n_pages, pad8(Hkv), ps] — detected by ndim.
+                Pool scales ride the same page-indexed BlockSpec channel
+                as K/V and are read in place; the gathered form forces a
+                per-layer gather+transpose pass that measured ~6.7% of
+                7B step bytes (the round-3 "paged gap").
     page_table  [S, P] int32, entries are pool page ids (0 = zero page)
     positions   [S] int32, -1 = inactive
     window      static read limit, multiple of page_size
@@ -1104,6 +1130,7 @@ def decode_attention_wide_paged(
     assert win % ps == 0, (win, ps)
     n_blocks = win // ps
     quantized = k_scale_l is not None
+    paged_sc = bool(quantized) and k_scale_l.ndim == 4  # scale POOL form
     kv_int8 = bool(quantized) and k_pool.dtype in (jnp.int8, jnp.uint8)
     if kv_bits == 4:
         if not quantized or k_pool.ndim != 4:
@@ -1115,10 +1142,16 @@ def decode_attention_wide_paged(
     sc_block = _scale_block(ps, win, quantized)
 
     qc, qs = _prep_q_compact(q, k_pool.dtype, kv_int8)
-    ksr, vsr = _prep_scales(
-        k_scale_l[:, :, :win] if quantized else None,
-        v_scale_l[:, :, :win] if quantized else None,
-        s_dim=s_dim, m_dim=m_dim, rep=rep, quantized=quantized, l_win=win)
+    if paged_sc:
+        hp = k_scale_l.shape[2]
+        ksr = k_scale_l.reshape(n_layers * n_pages, hp, ps)
+        vsr = v_scale_l.reshape(n_layers * n_pages, hp, ps)
+    else:
+        ksr, vsr = _prep_scales(
+            k_scale_l[:, :, :win] if quantized else None,
+            v_scale_l[:, :, :win] if quantized else None,
+            s_dim=s_dim, m_dim=m_dim, rep=rep, quantized=quantized,
+            l_win=win)
     m_pad = _pad8(m_dim)  # scale rows are per-slot padded (see _pad8)
 
     kf = k_pool.reshape(n_layers * n_pages * ps, w_store)
@@ -1136,6 +1169,11 @@ def decode_attention_wide_paged(
         page = sref[1 + s_dim + i * max_pages + jnp.minimum(j, live)]
         return (sref[0] * n_pages + page, 0)
 
+    def sc_pool_index(i, j, sref):
+        live = jnp.maximum(sref[1 + i], 0) // ps
+        page = sref[1 + s_dim + i * max_pages + jnp.minimum(j, live)]
+        return (sref[0] * n_pages + page, 0, 0)
+
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=(s_dim, n_blocks),
@@ -1146,12 +1184,16 @@ def decode_attention_wide_paged(
                          memory_space=pltpu.VMEM),           # q scales
             pl.BlockSpec((ps, w_store), kv_index, memory_space=pltpu.VMEM),
             pl.BlockSpec((ps, w_store), kv_index, memory_space=pltpu.VMEM),
-            pl.BlockSpec((m_pad, sc_block if quantized else 1),
-                         _paged_sc_index(s_dim, ps, sc_block, quantized),
-                         memory_space=pltpu.VMEM),           # K scales [M, sc]
-            pl.BlockSpec((m_pad, sc_block if quantized else 1),
-                         _paged_sc_index(s_dim, ps, sc_block, quantized),
-                         memory_space=pltpu.VMEM),           # V scales
+            (pl.BlockSpec((1, hp, ps), sc_pool_index,
+                          memory_space=pltpu.VMEM) if paged_sc else
+             pl.BlockSpec((m_pad, sc_block if quantized else 1),
+                          _paged_sc_index(s_dim, ps, sc_block, quantized),
+                          memory_space=pltpu.VMEM)),         # K scales
+            (pl.BlockSpec((1, hp, ps), sc_pool_index,
+                          memory_space=pltpu.VMEM) if paged_sc else
+             pl.BlockSpec((m_pad, sc_block if quantized else 1),
+                          _paged_sc_index(s_dim, ps, sc_block, quantized),
+                          memory_space=pltpu.VMEM)),         # V scales
         ],
         out_specs=pl.BlockSpec((1, m_dim, hd), lambda i, j, *_: (i, 0, 0),
                                memory_space=pltpu.VMEM),
@@ -1167,6 +1209,7 @@ def decode_attention_wide_paged(
             _wide_kernel, block_l=ps, n_kv=n_kv, rep=rep, hd=hd,
             kv_int8=kv_int8, quantized=quantized, pos_base=1,
             sc_block=sc_block, inline_qw=True, kv_bits=kv_bits,
+            paged_sc=paged_sc,
         ),
         out_shape=jax.ShapeDtypeStruct((s_dim, m_dim, hd), jnp.float32),
         grid_spec=grid_spec,

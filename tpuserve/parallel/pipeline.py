@@ -549,6 +549,15 @@ def pp_prefill(params: Dict, p: LlamaParams, tokens: jax.Array,
 # engine gates), 5D pool layout (pp islands read 5D), no prefix sharing.
 
 
+def _pp_pad_heads(x, hp: int):
+    """[.., Hkv] -> [.., hp] zero-padded (paged scale pool rows)."""
+    pad = hp - x.shape[-1]
+    if pad <= 0:
+        return x
+    return jnp.concatenate(
+        [x, jnp.zeros(x.shape[:-1] + (pad,), x.dtype)], axis=-1)
+
+
 def shard_paged_cache_pp(cache, mesh: Mesh):
     """Stage-local page pool: layer (leading) dim over "pp", pages global
     per stage."""
@@ -657,19 +666,27 @@ def pp_decode_step_paged(params: Dict, p: LlamaParams, tokens: jax.Array,
                     k_c = k_c.at[ll, wpage, woff].set(masked(kq.astype(k_c.dtype), k_c))
                     v_c = v_c.at[ll, wpage, woff].set(masked(vq.astype(v_c.dtype), v_c))
                     if ks is not None:
-                        # pool scales are position-major [.., ps, Hkv]
-                        ks_c = ks_c.at[ll, wpage, woff].set(masked(ks, ks_c))
-                        vs_c = vs_c.at[ll, wpage, woff].set(masked(vs, vs_c))
+                        # pool scales are HEAD-MAJOR [.., pad8(Hkv), ps]
+                        hp = ks_c.shape[2]
+
+                        def masked_sc(new, old_arr):
+                            old = old_arr[ll, wpage, :, woff]
+                            return jnp.where(act[:, None],
+                                             _pp_pad_heads(new, hp), old)
+
+                        ks_c = ks_c.at[ll, wpage, :, woff].set(masked_sc(ks, ks_c))
+                        vs_c = vs_c.at[ll, wpage, :, woff].set(masked_sc(vs, vs_c))
                     # gathered logical window view (paged tradeoff)
                     k_all = k_c[ll][table_mb].reshape(
                         mb, l_virt, p.n_kv_heads, p.head_dim)
                     v_all = v_c[ll][table_mb].reshape(
                         mb, l_virt, p.n_kv_heads, p.head_dim)
                     if quantized:
-                        ksl = ks_c[ll][table_mb].reshape(
-                            mb, l_virt, p.n_kv_heads).transpose(0, 2, 1)
-                        vsl = vs_c[ll][table_mb].reshape(
-                            mb, l_virt, p.n_kv_heads).transpose(0, 2, 1)
+                        hp = ks_c.shape[2]
+                        ksl = ks_c[ll][table_mb].transpose(0, 2, 1, 3).reshape(
+                            mb, hp, l_virt)[:, : p.n_kv_heads]
+                        vsl = vs_c[ll][table_mb].transpose(0, 2, 1, 3).reshape(
+                            mb, hp, l_virt)[:, : p.n_kv_heads]
                     else:
                         ksl = vsl = None
                     return _gqa_decode_attention(
@@ -778,8 +795,15 @@ def pp_prefill_paged(params: Dict, p: LlamaParams, tokens: jax.Array,
                     k_c = k_c.at[ll, page_ids, offsets].set(masked(kq.astype(k_c.dtype), k_c))
                     v_c = v_c.at[ll, page_ids, offsets].set(masked(vq.astype(v_c.dtype), v_c))
                     if ks is not None:
-                        ks_c = ks_c.at[ll, page_ids, offsets].set(masked(ks, ks_c))
-                        vs_c = vs_c.at[ll, page_ids, offsets].set(masked(vs, vs_c))
+                        hp = ks_c.shape[2]
+
+                        def masked_sc(new, old_arr):
+                            old = old_arr[ll, page_ids, :, offsets]
+                            return jnp.where(valid, _pp_pad_heads(new, hp),
+                                             old)
+
+                        ks_c = ks_c.at[ll, page_ids, :, offsets].set(masked_sc(ks, ks_c))
+                        vs_c = vs_c.at[ll, page_ids, :, offsets].set(masked_sc(vs, vs_c))
                     return _attention_prefill(q, k, v, mask).reshape(b, c, -1)
 
                 x = _forward_block(view, "L", x, p, attn_fn, mm=_island_mm(1))

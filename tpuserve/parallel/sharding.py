@@ -500,7 +500,16 @@ def shard_paged_cache(cache, mesh: Mesh):
         kv = NamedSharding(mesh, P(None, None, None, "tp"))
     else:
         kv = NamedSharding(mesh, P(None, None, None, "tp", None))
-    sc = NamedSharding(mesh, P(None, None, None, "tp"))
+    # scale pool is HEAD-MAJOR [layers, pages, pad8(Hkv), ps]: shard the
+    # head dim over tp only when the PADDED row count splits into whole
+    # unpadded head groups (pad rows would land in the wrong shard
+    # otherwise) — else replicate (scales are ~1.5% of pool bytes)
+    tp = int(mesh.shape.get("tp", 1))
+    h_ok = (cache.k_scale is not None and tp > 1
+            and cache.k_scale.shape[2] % tp == 0
+            and cache.k_scale.shape[2] == (cache.k.shape[3] if not cache.flat
+                                           else None))
+    sc = NamedSharding(mesh, P(None, None, "tp" if h_ok else None, None))
     return PagedKVCache(
         k=jax.device_put(cache.k, kv),
         v=jax.device_put(cache.v, kv),

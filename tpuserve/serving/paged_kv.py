@@ -9,8 +9,16 @@ native allocator (native/src/kv_allocator.cpp via
 tpuserve.bindings.native.NativeKvAllocator) with a pure-Python fallback.
 
 Device layout:
-  pages_k/pages_v: [n_layers, n_pages, page_size, Hkv, hd] (int8 or bf16)
-  scales:          [n_layers, n_pages, page_size, Hkv] f32 (int8 only)
+  pages_k/pages_v: [n_layers, n_pages, page_size, Hkv, hd] (int8 or bf16;
+                   flat pools merge the head dims, packed int4 halves W)
+  scales:          [n_layers, n_pages, pad8(Hkv), page_size] f32 (int8/int4
+                   only) — HEAD-MAJOR per page, padded to the Mosaic
+                   sublane minimum, so the paged kernel reads scale pages
+                   IN PLACE through the same page-indexed BlockSpecs as
+                   K/V. The round-3 position-major layout forced a
+                   gather + transpose of every layer's scales per decode
+                   step (~6.7%% of step bytes at 7B bs64 L256 — the
+                   measured "paged gap").
   page table:      [S, max_pages_per_slot] int32, -1 = unallocated; page 0
                    is reserved as the zero page that -1 entries map to.
 
@@ -197,7 +205,7 @@ class PagedKVCache:
 
     k: jax.Array  # [layers, n_pages, page_size, Hkv, hd] or [..., W]
     v: jax.Array
-    k_scale: Optional[jax.Array]  # [layers, n_pages, page_size, Hkv]
+    k_scale: Optional[jax.Array]  # [layers, n_pages, pad8(Hkv), page_size]
     v_scale: Optional[jax.Array]
     flat: bool = False
 
@@ -248,7 +256,8 @@ class PagedKVCache:
                      w // 2 if kv_bits == 4 else w)
         else:
             shape = (p.n_layers, n_pages, page_size, p.n_kv_heads, p.head_dim)
-        scale_shape = (p.n_layers, n_pages, page_size, p.n_kv_heads)
+        hp = (p.n_kv_heads + 7) // 8 * 8  # Mosaic sublane minimum
+        scale_shape = (p.n_layers, n_pages, hp, page_size)
         if quantized:
             code_dt = jnp.uint8 if kv_bits == 4 else jnp.int8
             return cls(
