@@ -14,10 +14,15 @@ int4 serve trained 7B models within tight accuracy budgets, and what gives
 calibration (GPTQ's Hessian-weighted rounding) its signal.
 
 This module synthesizes that structure explicitly so the int4 accuracy
-gate can be evaluated somewhere it can be PASSED — and failed: on these
-checkpoints plain round-to-nearest int4 misses the 0.02-nat KL gate while
-GPTQ meets it (scripts/eval_accuracy.py --anisotropic-eval; ACCURACY.json
-round-4 rows).
+gate can be evaluated somewhere it can be PASSED — and failed. The
+default knobs are CALIBRATED against published reality, not tuned until
+the gate passes: plain round-to-nearest int4-g128 degrades Llama-2-7B by
+~0.25-0.5 ppl (≈0.05-0.09 nat KL at ppl≈5.5 — GPTQ/AWQ papers' RTN
+baselines), and on the default synthetic RTN lands at 0.085 nat (400m
+scale). Against that anchored difficulty the quantizer ladder separates:
+RTN 0.085 / clip-search 0.054 (both fail the 0.02-nat ≙ ≤0.1-ppl
+BASELINE gate) vs GPTQ 0.0097 / GPTQ+LoRC-32 0.0067 (both pass) —
+scripts/eval_accuracy.py --anisotropic-eval; ACCURACY.json round-4 rows.
 
 Construction (all fp32, serving-path compatible flat param dict):
   * a shared r-dimensional residual subspace, r = rank_frac * dim: token
@@ -30,8 +35,11 @@ Construction (all fp32, serving-path compatible flat param dict):
     x — the "massive activations" structure, making every per-layer input
     Hessian anisotropic;
   * a row_tail_frac fraction of every 2-D kernel's input rows is scaled by
-    lognormal factors (median ~6x) — heavy-tailed input-channel weight
-    magnitudes, the structure that crushes absmax group scales under RTN.
+    lognormal factors (median row_tail_log_median) — heavy-tailed
+    input-channel weight magnitudes, the structure that crushes absmax
+    group scales under RTN. The defaults (0.5%% of rows, median 3x) are
+    the calibration point where RTN's damage matches its published
+    real-7B damage (see module docstring).
 
 Reference parity note: the reference repo has no quantization accuracy
 machinery at all (SURVEY §5); this is north-star territory (BASELINE.md
@@ -59,13 +67,13 @@ def init_params_anisotropic(
     rng: jax.Array,
     p: LlamaParams,
     *,
-    rank_frac: float = 1.0 / 16.0,
-    spectrum_alpha: float = 0.75,
+    rank_frac: float = 1.0 / 32.0,
+    spectrum_alpha: float = 0.0,
     subspace_leak: float = 0.08,
     massive_frac: float = 0.01,
     massive_scale: float = 10.0,
-    row_tail_frac: float = 0.01,
-    row_tail_log_median: float = 6.0,
+    row_tail_frac: float = 0.005,
+    row_tail_log_median: float = 3.0,
     dtype=jnp.float32,
 ) -> Dict[str, jax.Array]:
     """Flat fp32 param dict with trained-checkpoint-like anisotropy.
