@@ -138,16 +138,13 @@ def main():
     # .r3_ab4 / .r3_bench_kv4.log); paged pools stay int8.
     kv_bits = int(os.environ.get("TPUSERVE_BENCH_KV_BITS", "8" if paged else "4"))
 
-    # Probe the deliverable bandwidth up front (it FLUCTUATES: 179-297 GB/s
-    # for the identical probe minutes apart; probe again after the timed run
-    # and take the max — "achievable peak" is a best-case estimator).
-    _phase("peak-probe (pre)")
-    peak_gbps = measure_peak_gbps()
-    print(f"# measured achievable HBM stream: {peak_gbps:.0f} GB/s "
-          f"(spec {HBM_SPEC_GBPS:.0f})", file=sys.stderr, flush=True)
-    # floor at the historical best so a bad-weather probe can't flatter
-    # vs_baseline (low denominator -> ratio clamps to 1.0 too easily)
-    peak_gbps = max(peak_gbps, FALLBACK_PEAK_GBPS)
+    # The bandwidth probe runs AFTER the timed chunks (r3's driver bench
+    # died rc=124 hung in a pre-run probe before any JSON had been emitted).
+    # The denominator floors at the historical-best 297 GB/s anyway (probes
+    # measure 179-297 — max(probe, floor) is almost always the floor), so
+    # deferring the probe costs nothing and removes a whole failure phase
+    # before the first emission.
+    peak_gbps = FALLBACK_PEAK_GBPS
 
     _phase("weight init + upload")
     t0 = time.time()
