@@ -76,7 +76,11 @@ def main():
             # window (steady-state decode, like bench.py --paged)
             from tpuserve.serving.paged_kv import PagedKVCache, PageTableManager
 
-            ps = int(name[5:] or 128)
+            ps_spec = name[5:] or "128"
+            kv_bits = 8
+            if ps_spec.endswith("i4"):  # "paged128i4" = packed int4 pool
+                ps_spec, kv_bits = ps_spec[:-2], 4
+            ps = int(ps_spec or 128)
             max_pages = -(-max_len // ps)
             n_pages = n_slots * max_pages + 1
             env = {"TPUSERVE_DECODE_ATTN": "pallas"}
@@ -85,7 +89,8 @@ def main():
             try:
                 cache = PagedKVCache.create(
                     p, n_pages, ps, quantized=True,
-                    flat=llama.preferred_cache_flat(p, max_len))
+                    flat=llama.preferred_cache_flat(p, max_len),
+                    kv_bits=kv_bits)
                 ptm = PageTableManager(n_pages, ps, n_slots, max_len)
                 for s_i in range(n_slots):
                     ptm.ensure(s_i, max_len)

@@ -74,6 +74,7 @@ def init_params_anisotropic(
     massive_scale: float = 10.0,
     row_tail_frac: float = 0.005,
     row_tail_log_median: float = 3.0,
+    write_scale: float = 1.0,
     dtype=jnp.float32,
 ) -> Dict[str, jax.Array]:
     """Flat fp32 param dict with trained-checkpoint-like anisotropy.
@@ -87,6 +88,18 @@ def init_params_anisotropic(
     r-dimensional ball; a flat spectrum both understates trained-model
     compressibility and makes low-rank structure meaningless below
     exactly rank r. 0 = flat (the round-4 first cut).
+
+    write_scale: multiplier on the kernels that WRITE to the residual
+    stream (wo, w_down, moe_down). Gaussian-core random init gives every
+    layer a full-size contribution to the stream, so per-layer
+    quantization noise accumulates with depth and the int4-RTN KL floor
+    GROWS with model size (measured: 0.158 nat isotropic / 0.22-0.37
+    anisotropic at 1b vs 0.085 at 400m) — the opposite of trained
+    reality, where layer writes are small relative to the skip path and
+    bigger models quantize EASIER. write_scale < 1 restores that
+    skip-dominated composition; it is the per-size difficulty-anchor
+    knob (calibrate so RTN int4-g128 lands at the published real-7B
+    damage band, 0.05-0.09 nat, at the size being evaluated).
     """
     r = max(4, int(round(p.dim * rank_frac)))
 
@@ -124,7 +137,7 @@ def init_params_anisotropic(
         w = jax.random.normal(key, shape, jnp.float32) * std
         w = row_tails(nxt(), w)
         if write_to_stream:
-            w = to_subspace(w)
+            w = to_subspace(w) * write_scale
         return w.astype(dtype)
 
     # embeddings: low-rank + noise, with massive channels
