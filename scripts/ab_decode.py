@@ -66,7 +66,14 @@ def main():
         return tokens, cache, positions, out
 
     rng = np.random.default_rng(0)
-    pos0 = rng.integers(64, max_len - inner * (rounds + 2) - 2, n_slots).astype(np.int32)
+    # positions start in [lo, hi) and advance inner*(rounds+1) during the
+    # run (warm + timed); small windows pull lo below the usual 64
+    hi = max_len - inner * (rounds + 2) - 2
+    lo = 64 if hi > 72 else max(2, hi - 8)
+    if hi <= lo:
+        raise SystemExit(f"TPUSERVE_AB_SEQ={max_len} too small for "
+                         f"inner={inner} x rounds={rounds}")
+    pos0 = rng.integers(lo, hi, n_slots).astype(np.int32)
 
     states = {}
     for name in mode_names:
@@ -133,15 +140,21 @@ def main():
             skip = "1"
             scale_dt = jnp.float32
             kv_bits = 8
+            unpack = "cur"
             if spec.endswith("ns"):  # "pallas128ns" = no dyn skip
                 spec, skip = spec[:-2], "0"
+            if spec.endswith("i4nu"):  # int4 + NOOP unpack (timing-only
+                # diagnostic: raw bytes into both dot halves — isolates the
+                # VPU nibble-unpack tax in situ, VERDICT r4 #2)
+                spec, kv_bits, scale_dt, unpack = spec[:-4], 4, jnp.bfloat16, "noop"
             if spec.endswith("i4"):  # "pallas128i4" = packed int4 KV (+bf16 scales)
                 spec, kv_bits, scale_dt = spec[:-2], 4, jnp.bfloat16
             if spec.endswith("sb"):  # "pallas128sb" = bf16 KV scales
                 spec, scale_dt = spec[:-2], jnp.bfloat16
             env = {"TPUSERVE_DECODE_ATTN": "pallas",
                    "TPUSERVE_ATTN_BLOCK_L": spec or "64",
-                   "TPUSERVE_ATTN_DYNSKIP": skip}
+                   "TPUSERVE_ATTN_DYNSKIP": skip,
+                   "TPUSERVE_INT4_UNPACK": unpack}
             flat = True
         saved = {k: os.environ.get(k) for k in env}
         os.environ.update(env)

@@ -139,7 +139,17 @@ def _unpack_nibbles(packed, biased=False):
 
     biased=True returns the RAW unsigned nibbles in [0, 15] (two fewer
     VPU ops per byte over the full KV stream); callers fold the -8 into
-    the dot algebraically: q.(n - 8) = q.n - 8*rowsum(q)."""
+    the dot algebraically: q.(n - 8) = q.n - 8*rowsum(q).
+
+    TPUSERVE_INT4_UNPACK=noop is a TIMING-ONLY diagnostic (VERDICT r4 #2):
+    it feeds the raw bytes to both dot halves (numerically wrong) so an
+    in-situ A/B vs "cur" isolates the VPU nibble-unpack tax at real decode
+    shapes — the standalone microbench (scripts/unpack_microbench.py) was
+    per-block-overhead-bound and could not resolve it."""
+    mode = os.environ.get("TPUSERVE_INT4_UNPACK", "cur")
+    if mode == "noop":
+        b = jax.lax.bitcast_convert_type(packed, jnp.int8)
+        return b, b
     p32 = packed.astype(jnp.int32)
     lo, hi = p32 & 15, p32 >> 4
     if not biased:

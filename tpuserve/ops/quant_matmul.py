@@ -64,14 +64,23 @@ def _kernel(x_ref, w_ref, s_ref, o_ref, acc_ref, *, bits, gs, gpb, block_n, out_
                     x_ref[:, g * gs : (g + 1) * gs], w, preferred_element_type=jnp.float32
                 )
             else:
+                # biased-nibble unpack: keep the raw [0, 15] codes and fold
+                # the -8 offset algebraically — sum_k x_k (c_k - 8) =
+                # x.c - 8*rowsum(x). Two fewer VPU passes per byte over the
+                # whole weight stream than subtracting on the [half, bn]
+                # tiles (r5: the int4 path is VPU-dequant-bound at ~0.6e12
+                # elem/s while int8 streams at ~645 GB/s — kernel_rates.py)
                 half = gs // 2
                 packed = w_ref[g * half : (g + 1) * half, :].astype(jnp.int32)
-                lo = ((packed & 0x0F) - 8).astype(jnp.bfloat16)
-                hi = ((packed >> 4) - 8).astype(jnp.bfloat16)
+                lo = (packed & 0x0F).astype(jnp.bfloat16)
+                hi = (packed >> 4).astype(jnp.bfloat16)
                 x0 = x_ref[:, g * gs : g * gs + half]
                 x1 = x_ref[:, g * gs + half : (g + 1) * gs]
                 partial = jnp.dot(x0, lo, preferred_element_type=jnp.float32)
                 partial += jnp.dot(x1, hi, preferred_element_type=jnp.float32)
+                partial -= 8.0 * jnp.sum(
+                    x_ref[:, g * gs : (g + 1) * gs].astype(jnp.float32),
+                    axis=1, keepdims=True)
             acc_ref[:] += partial * scale
 
     @pl.when(kj == pl.num_programs(1) - 1)
