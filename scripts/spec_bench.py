@@ -132,29 +132,28 @@ def drive(eng: GenerationEngine, tag: str, kind: str,
 def main():
     k = int(os.environ.get("TPUSERVE_SPEC_BENCH_K", "8"))
     rounds = int(os.environ.get("TPUSERVE_SPEC_BENCH_ROUNDS", "4"))
+    # ONE engine; speculation toggles via the engine's _spec_disabled latch
+    # so every OFF/ON pair runs back-to-back on the same weights in the
+    # same relay weather (the r5 two-engine runs were minutes apart — the
+    # 0.961x "adversarial regression" was within cross-engine drift)
+    result = {"metric": "speculation_7b_int4", "spec_k": k,
+              "spec_rounds": rounds}
     with tempfile.TemporaryDirectory() as root:
-        eng_off = build(root, "base7b", 0)
-        off_rep = drive(eng_off, "spec OFF", "repetitive")
-        off_rand = drive(eng_off, "spec OFF", "random")
-        off_adv = drive(eng_off, "spec OFF", "adversarial", temperature=1.0)
-        eng_off.stop()
-        eng_on = build(root, "spec7b", k, rounds=rounds)
-        on_rep = drive(eng_on, f"spec ON k={k} R={rounds}", "repetitive")
-        on_rand = drive(eng_on, f"spec ON k={k} R={rounds}", "random")
-        on_adv = drive(eng_on, f"spec ON k={k} R={rounds}", "adversarial",
-                       temperature=1.0)
-        eng_on.stop()
-    result = {"metric": "speculation_7b_int4",
-              "spec_rounds": rounds,
-              "repetitive": {"spec_off": off_rep, "spec_on": on_rep,
-                             "speedup": round(on_rep["tokens_per_s"]
-                                              / off_rep["tokens_per_s"], 3)},
-              "random": {"spec_off": off_rand, "spec_on": on_rand,
-                         "speedup": round(on_rand["tokens_per_s"]
-                                          / off_rand["tokens_per_s"], 3)},
-              "adversarial_t1": {"spec_off": off_adv, "spec_on": on_adv,
-                                 "speedup": round(on_adv["tokens_per_s"]
-                                                  / off_adv["tokens_per_s"], 3)}}
+        eng = build(root, "spec7b", k, rounds=rounds)
+        for key, kind, temp in [("repetitive", "repetitive", 0.0),
+                                ("random", "random", 0.0),
+                                ("adversarial_t1", "adversarial", 1.0)]:
+            eng._spec_disabled = False
+            on = drive(eng, f"spec ON k={k} R={rounds}", kind,
+                       temperature=temp)
+            eng._spec_disabled = True
+            off = drive(eng, "spec OFF", kind, temperature=temp)
+            eng._spec_disabled = False
+            result[key] = {"spec_off": off, "spec_on": on,
+                           "speedup": round(on["tokens_per_s"]
+                                            / off["tokens_per_s"], 3)}
+        eng.stop()
+    on_rep = result["repetitive"]["spec_on"]
     print(json.dumps(result))
     if on_rep["spec_drafted"] == 0:
         print("SPEC_BENCH FAILED: no drafts fired on the repetitive "

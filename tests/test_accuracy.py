@@ -186,3 +186,111 @@ class TestMoEAccuracy:
         assert any(isinstance(v, QExperts) for v in q.values())
         ppl = _perplexity(arch, q, tokens)
         assert abs(ppl - base) / base < tol, (base, ppl)
+
+
+def test_eval_real_ppl_smoke(tmp_path):
+    """The turnkey real-checkpoint ppl gate (scripts/eval_real_ppl.py,
+    VERDICT r4 #7) end to end on a tiny synthetic checkpoint via the
+    tokenizer-less --token-ids path: same entry point a real Llama
+    safetensors dir + text file would use."""
+    import json
+    import os
+    import subprocess
+    import sys
+
+    from safetensors.numpy import save_file
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    arch = _arch()
+    params = arch.init(jax.random.PRNGKey(7))
+    vdir = tmp_path / "models" / "syn" / "1"
+    vdir.mkdir(parents=True)
+    save_file({k: np.asarray(v, np.float32) for k, v in params.items()},
+              str(vdir / "model.safetensors"))
+    cfg = {
+        "name": "syn", "platform": "llm", "architecture": "llama",
+        "inputs": [{"name": "input_ids", "shape": [1, -1], "data_type": "INT32"}],
+        "outputs": [{"name": "output_ids", "shape": [1, -1], "data_type": "INT32"}],
+        "model_params": {
+            "vocab_size": P.vocab_size, "dim": P.dim, "n_layers": P.n_layers,
+            "n_heads": P.n_heads, "n_kv_heads": P.n_kv_heads,
+            "head_dim": P.head_dim, "ffn_dim": P.ffn_dim,
+        },
+        "generation": {"max_seq_len": 64, "max_slots": 2, "eos_token_id": -1,
+                       "max_new_tokens": 8},
+        "quantization": {"weights": "int8", "group_size": 32},
+    }
+    with open(vdir / "config.json", "w") as f:
+        json.dump(cfg, f)
+    ids = np.random.default_rng(0).integers(0, P.vocab_size, 4 * 64)
+    with open(tmp_path / "ids.json", "w") as f:
+        json.dump([int(t) for t in ids], f)
+
+    env = dict(os.environ)
+    env["XLA_FLAGS"] = "--xla_force_host_platform_device_count=1"
+    out = subprocess.run(
+        [sys.executable, os.path.join(repo, "scripts", "eval_real_ppl.py"),
+         "--repository", str(tmp_path / "models"), "--model", "syn",
+         "--token-ids", str(tmp_path / "ids.json"), "--ctx", "64",
+         "--max-windows", "3", "--bits", "8", "--group-size", "32",
+         "--quantizer", "rtn", "--platform", "cpu", "--json"],
+        env=env, cwd=repo, capture_output=True, text=True, timeout=300)
+    assert out.returncode == 0, out.stderr[-3000:]
+    row = json.loads(out.stdout.strip().splitlines()[-1])
+    assert row["metric"] == "real_ppl_delta"
+    assert row["eval_tokens"] == 3 * 63
+    # int8 on a tiny random-init model: distributions near-identical
+    assert abs(row["delta"]) <= 0.1 and row["gate_pass"]
+
+
+def test_eval_real_ppl_gptq_calibration_split(tmp_path):
+    """GPTQ leg of the turnkey gate: calibration windows are held out of
+    the eval set (eval_windows + calib_windows == total windows)."""
+    import json
+    import os
+    import subprocess
+    import sys
+
+    from safetensors.numpy import save_file
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    arch = _arch()
+    params = arch.init(jax.random.PRNGKey(9))
+    vdir = tmp_path / "models" / "syn" / "1"
+    vdir.mkdir(parents=True)
+    save_file({k: np.asarray(v, np.float32) for k, v in params.items()},
+              str(vdir / "model.safetensors"))
+    cfg = {
+        "name": "syn", "platform": "llm", "architecture": "llama",
+        "inputs": [{"name": "input_ids", "shape": [1, -1], "data_type": "INT32"}],
+        "outputs": [{"name": "output_ids", "shape": [1, -1], "data_type": "INT32"}],
+        "model_params": {
+            "vocab_size": P.vocab_size, "dim": P.dim, "n_layers": P.n_layers,
+            "n_heads": P.n_heads, "n_kv_heads": P.n_kv_heads,
+            "head_dim": P.head_dim, "ffn_dim": P.ffn_dim,
+        },
+        "generation": {"max_seq_len": 64, "max_slots": 2, "eos_token_id": -1,
+                       "max_new_tokens": 8},
+        "quantization": {"weights": "int4", "group_size": 32, "method": "gptq"},
+    }
+    with open(vdir / "config.json", "w") as f:
+        json.dump(cfg, f)
+    ids = np.random.default_rng(1).integers(0, P.vocab_size, 4 * 64)
+    with open(tmp_path / "ids.json", "w") as f:
+        json.dump([int(t) for t in ids], f)
+
+    env = dict(os.environ)
+    env["XLA_FLAGS"] = "--xla_force_host_platform_device_count=1"
+    out = subprocess.run(
+        [sys.executable, os.path.join(repo, "scripts", "eval_real_ppl.py"),
+         "--repository", str(tmp_path / "models"), "--model", "syn",
+         "--token-ids", str(tmp_path / "ids.json"), "--ctx", "64",
+         "--max-windows", "4", "--calib-windows", "2", "--bits", "4",
+         "--group-size", "32", "--quantizer", "gptq", "--platform", "cpu",
+         "--json"],
+        env=env, cwd=repo, capture_output=True, text=True, timeout=600)
+    assert out.returncode == 0, out.stderr[-3000:]
+    row = json.loads(out.stdout.strip().splitlines()[-1])
+    assert row["calib_windows"] == 2
+    assert row["eval_windows"] == 2  # held out: 4 total - 2 calibration
+    assert np.isfinite(row["ppl_quant"]) and np.isfinite(row["ppl_fp"])

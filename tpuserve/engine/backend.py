@@ -4,8 +4,10 @@ Reference counterpart: `ModelImpl`'s per-type dispatch switches
 (model.cpp:514-540 Load, :575-600 Infer, :620-645 Unload) with one real
 backend (ONNX Runtime) and four stubs. Here backends are classes in a
 registry keyed by `ModelType`; JAX and LLM are the real TPU paths, PyTorch
-runs on CPU via torch, and ONNX/TF/TensorRT raise a clear UnsupportedError
-(≙ the reference's "not implemented" returns, model.cpp:801-818).
+runs on CPU via torch, ONNX is real via the native wire-format importer
+(onnx/importer.py, registered in engine/onnx_backend.py — no onnxruntime
+dependency), and TF/TensorRT raise a clear UnsupportedError (≙ the
+reference's "not implemented" returns, model.cpp:801-818).
 """
 
 from __future__ import annotations

@@ -24,6 +24,7 @@ from typing import Dict, Optional
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from tpuserve.models.llama import KVCache, LlamaParams
@@ -94,6 +95,21 @@ def llama_param_pspecs(params: Dict, tp: int = 1) -> Dict[str, object]:
     return specs
 
 
+def _put(arr, mesh: Mesh, spec) -> jax.Array:
+    """Place `arr` with NamedSharding(mesh, spec). Single-process: plain
+    device_put. Multi-process (the mesh spans hosts): device_put cannot
+    address remote devices, so build the global array from the host value
+    via make_array_from_callback — every process holds the same full host
+    array (same seed / same checkpoint file) and contributes its local
+    shards."""
+    s = NamedSharding(mesh, spec if isinstance(spec, P) else P(*spec)) \
+        if not isinstance(spec, NamedSharding) else spec
+    if jax.process_count() > 1:
+        a = np.asarray(arr)
+        return jax.make_array_from_callback(a.shape, s, lambda idx: a[idx])
+    return jax.device_put(arr, s)
+
+
 def shard_llama_params(params: Dict, mesh: Mesh) -> Dict:
     """device_put every param with its NamedSharding."""
     out = {}
@@ -104,17 +120,17 @@ def shard_llama_params(params: Dict, mesh: Mesh) -> Dict:
             if isinstance(val, QExperts):
                 out[name] = dataclasses.replace(
                     val,
-                    q=jax.device_put(val.q, NamedSharding(mesh, espec)),
-                    scale=jax.device_put(val.scale, NamedSharding(mesh, espec)),
+                    q=_put(val.q, mesh, espec),
+                    scale=_put(val.scale, mesh, espec),
                 )
             else:
-                out[name] = jax.device_put(val, NamedSharding(mesh, espec))
+                out[name] = _put(val, mesh, espec)
             continue
         spec = _spec_for(name)
         if isinstance(val, QTensor):
             out[name] = QTensor(
-                q=jax.device_put(val.q, NamedSharding(mesh, spec)),
-                scale=jax.device_put(val.scale, NamedSharding(mesh, _scale_spec(spec, val.scale, tp))),
+                q=_put(val.q, mesh, spec),
+                scale=_put(val.scale, mesh, _scale_spec(spec, val.scale, tp)),
                 bits=val.bits,
                 group_size=val.group_size,
                 orig_shape=val.orig_shape,
@@ -122,7 +138,7 @@ def shard_llama_params(params: Dict, mesh: Mesh) -> Dict:
                 act_fp8=val.act_fp8,
             )
         else:
-            out[name] = jax.device_put(val, NamedSharding(mesh, spec))
+            out[name] = _put(val, mesh, spec)
     return out
 
 
@@ -541,10 +557,10 @@ def shard_cache(cache: KVCache, mesh: Mesh) -> KVCache:
         sc_h = "tp"
     sc = NamedSharding(mesh, P(None, s_ax, sc_h, l_ax))  # [.., Hkv, L]
     return KVCache(
-        k=jax.device_put(cache.k, kv),
-        v=jax.device_put(cache.v, kv),
-        k_scale=None if cache.k_scale is None else jax.device_put(cache.k_scale, sc),
-        v_scale=None if cache.v_scale is None else jax.device_put(cache.v_scale, sc),
+        k=_put(cache.k, mesh, kv),
+        v=_put(cache.v, mesh, kv),
+        k_scale=None if cache.k_scale is None else _put(cache.k_scale, mesh, sc),
+        v_scale=None if cache.v_scale is None else _put(cache.v_scale, mesh, sc),
         flat=cache.flat,
         pack_chunks=cache.pack_chunks,
     )

@@ -39,24 +39,48 @@ def main():
 
         jax.config.update("jax_platforms", args.platform)
 
-    if args.grpc_port:
-        # one manager shared by both frontends
-        from aiohttp import web
+    # multi-host serving: every host runs this same entry point with
+    # TPUSERVE_COORDINATOR/NUM_PROCESSES/PROCESS_ID set; process 0 serves
+    # the frontends below, the rest replay its dispatches (server/follower)
+    multihost = False
+    if os.environ.get("TPUSERVE_COORDINATOR"):
+        from tpuserve.parallel import distributed
 
-        from tpuserve.engine.manager import InferenceManager
-        from tpuserve.server.grpc import create_grpc_server
-        from tpuserve.server.http import create_app
+        distributed.initialize()
+        import jax
 
-        manager = InferenceManager(args.repository)
-        grpc_server = create_grpc_server(manager, args.grpc_port, args.host)
-        grpc_server.start()
-        app = create_app(args.repository, manager=manager)
-        try:
-            web.run_app(app, host=args.host, port=args.port, shutdown_timeout=5.0, print=None)
-        finally:
-            grpc_server.stop(grace=5.0)
-    else:
-        run_server(args.repository, host=args.host, port=args.port)
+        multihost = jax.process_count() > 1
+        if multihost and jax.process_index() != 0:
+            from tpuserve.server.follower import run_follower_server
+
+            run_follower_server(args.repository)
+            return
+
+    try:
+        if args.grpc_port:
+            # one manager shared by both frontends
+            from aiohttp import web
+
+            from tpuserve.engine.manager import InferenceManager
+            from tpuserve.server.grpc import create_grpc_server
+            from tpuserve.server.http import create_app
+
+            manager = InferenceManager(args.repository)
+            grpc_server = create_grpc_server(manager, args.grpc_port, args.host)
+            grpc_server.start()
+            app = create_app(args.repository, manager=manager)
+            try:
+                web.run_app(app, host=args.host, port=args.port, shutdown_timeout=5.0, print=None)
+            finally:
+                grpc_server.stop(grace=5.0)
+        else:
+            run_server(args.repository, host=args.host, port=args.port)
+    finally:
+        if multihost:
+            # release follower processes blocked in their event loop
+            from tpuserve.parallel.dispatcher import publish_event
+
+            publish_event(("shutdown",))
 
 
 if __name__ == "__main__":

@@ -569,11 +569,31 @@ async def handle_profile_stop(request):
 
 
 # ---------------------------------------------------------------------- app
+# Paths that stay open when TPUSERVE_AUTH_TOKEN is set (load-balancer /
+# liveness probes). Everything else then requires
+# `Authorization: Bearer <token>`. This replaces the reference's ngrok
+# tunnel (hardcoded authtoken, main.go:920-936) with an explicit,
+# secretless-in-repo remote-access story: front with any reverse proxy /
+# port-forward and set the env var.
+_OPEN_PATHS = frozenset({"/", "/health"})
+
+
+@web.middleware if web is not None else (lambda f: f)
+async def _auth_middleware(request, handler):
+    token = os.environ.get("TPUSERVE_AUTH_TOKEN")
+    if token and request.path not in _OPEN_PATHS:
+        got = request.headers.get("Authorization", "")
+        if got != f"Bearer {token}":
+            return _json_error(401, "missing or invalid bearer token")
+    return await handler(request)
+
+
 def create_app(repository_path: str = "./models", manager: Optional[InferenceManager] = None):
     """Build the aiohttp application (route table ≙ server/main.go:903-917)."""
     if web is None:  # pragma: no cover
         raise RuntimeError("aiohttp is required for the REST server")
-    app = web.Application(client_max_size=256 * 1024 * 1024)
+    app = web.Application(client_max_size=256 * 1024 * 1024,
+                          middlewares=[_auth_middleware])
     app[_MANAGER_KEY] = manager or InferenceManager(repository_path)
 
     app.router.add_get("/", handle_home)

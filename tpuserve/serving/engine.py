@@ -41,6 +41,10 @@ from tpuserve.repository.config import ModelConfig
 from tpuserve.serving.sampling import (
     SamplingParams, sample, sample_with_logprobs, spec_accept)
 from tpuserve.utils.dtypes import DataType
+
+# the single live engine under multi-host serving (v1: one model at a time
+# — the dispatch event bus is one ordered stream shared by all processes)
+_MH_LIVE_ENGINE = None
 from tpuserve.utils.errors import BackendError, InvalidArgumentError, ResourceExhaustedError
 from tpuserve.utils.tensor import Tensor
 
@@ -134,6 +138,14 @@ class GenerationEngine:
         self._horizon_last = 1
         self._thread: Optional[threading.Thread] = None
         self._running = False
+        # multi-host serving (VERDICT r4 #3): when jax.process_count() > 1,
+        # process 0 (controller) owns the frontends and publishes every
+        # device dispatch on the event bus; followers replay them in order
+        # via run_follower() so all processes enter the same jitted
+        # computations over the global mesh. Set for real in _finish_start.
+        self._mh = False
+        self._mh_ctrl = True
+        self._admit_sample_jit = None
         self._req_ids = itertools.count(1)
         self._key = jax.random.PRNGKey(int(config.model_params.get("seed", 0)))
         self._sampling = SamplingParams.create(self.n_slots)
@@ -224,6 +236,21 @@ class GenerationEngine:
         return params
 
     def start(self) -> None:
+        if jax.process_count() > 1 and jax.process_index() == 0:
+            # tell follower processes to construct + start this same engine
+            # (same model_dir on a shared repository path); they then block
+            # in run_follower() replaying dispatch events. The one-model
+            # guard must run BEFORE the publish — a second load event would
+            # reach followers still inside the first engine's replay loop.
+            global _MH_LIVE_ENGINE
+            if _MH_LIVE_ENGINE is not None and _MH_LIVE_ENGINE is not self:
+                raise BackendError(
+                    "multi-host serving v1 serves ONE model at a time (the "
+                    "event bus is a single ordered stream)")
+            _MH_LIVE_ENGINE = self
+            from tpuserve.parallel.dispatcher import publish_event
+
+            publish_event(("load", self.model_dir))
         p = self.p
         qcfg = self.config.quantization
         bits = _QUANT_BITS.get(qcfg.weights)
@@ -355,6 +382,43 @@ class GenerationEngine:
             set_active_mesh(self.mesh)
         else:
             self.params = jax.device_put(params)
+
+        # ---- multi-host serving activation + v1 restrictions
+        self._mh = jax.process_count() > 1
+        self._mh_ctrl = jax.process_index() == 0
+        if self._mh:
+            if self.mesh is None:
+                raise BackendError(
+                    "multi-host serving requires a multi-chip sharding "
+                    "config (set sharding.tensor_parallel/data_parallel)")
+            if self._pp > 1:
+                raise BackendError(
+                    "multi-host serving v1 does not compose with "
+                    "pipeline_parallel")
+            if self.config.generation.paged:
+                raise BackendError(
+                    "multi-host serving v1 does not compose with paged KV "
+                    "(page-table bookkeeping is controller-local)")
+            if int(getattr(self.config.generation, "speculation_tokens", 0)
+                   or 0) > 0:
+                raise BackendError(
+                    "multi-host serving v1 does not compose with "
+                    "speculative decoding")
+            global _MH_LIVE_ENGINE
+            if _MH_LIVE_ENGINE is not None and _MH_LIVE_ENGINE is not self:
+                raise BackendError(
+                    "multi-host serving v1 serves ONE model at a time (the "
+                    "event bus is a single ordered stream)")
+            _MH_LIVE_ENGINE = self
+            # PRNG key lives host-side so per-dispatch splits are replicated
+            # values on every process (device-local keys cannot enter jits
+            # over a multi-process mesh)
+            self._key = np.asarray(self._key)
+            from tpuserve.parallel.sharding import _put
+            from jax.sharding import PartitionSpec as _P
+
+            self._sampling = jax.tree_util.tree_map(
+                lambda a: _put(np.asarray(a), self.mesh, _P()), self._sampling)
         self._param_bytes = sum(
             x.nbytes if isinstance(x, QTensor) else x.size * x.dtype.itemsize
             for x in jax.tree_util.tree_leaves(
@@ -724,18 +788,66 @@ class GenerationEngine:
             self._prefill_chunk_jit = jax.jit(
                 prefill_chunk_fn, donate_argnums=(2,), static_argnames=("window",)
             )
+            if self._mh:
+                from jax.sharding import NamedSharding as _NS, \
+                    PartitionSpec as _P
 
-        self._prefill_jit = jax.jit(prefill_fn, donate_argnums=(2,))
-        self._decode_jit = jax.jit(decode_fn, donate_argnums=(2,), static_argnames=("window",))
-        self._decode_multi_jit = jax.jit(
-            decode_multi_fn, donate_argnums=(2,), static_argnames=("window", "horizon")
-        )
-        self._sample_jit = jax.jit(sample_with_logprobs)
-        self._presence = jnp.zeros((self.n_slots, p.vocab_size), jnp.bool_)
+                _repl = _NS(self.mesh, _P())
+                _cache_sh = jax.tree_util.tree_map(
+                    lambda x: x.sharding, self.cache)
+                self._prefill_chunk_jit = jax.jit(
+                    prefill_chunk_fn, donate_argnums=(2,),
+                    static_argnames=("window",),
+                    out_shardings=(_repl, _cache_sh))
+
+        if self._mh:
+            # multi-host: small outputs (logits, tokens, logprobs, presence)
+            # must come back fully replicated so every process can fetch
+            # them with np.asarray; the cache keeps its input shardings
+            # (donation requires the match anyway).
+            from jax.sharding import NamedSharding as _NS, PartitionSpec as _P
+
+            repl = _NS(self.mesh, _P())
+            cache_sh = jax.tree_util.tree_map(lambda x: x.sharding, self.cache)
+            self._prefill_jit = jax.jit(
+                prefill_fn, donate_argnums=(2,),
+                out_shardings=(repl, cache_sh))
+            self._decode_jit = jax.jit(
+                decode_fn, donate_argnums=(2,), static_argnames=("window",),
+                out_shardings=(repl, repl, cache_sh, repl))
+            self._decode_multi_jit = jax.jit(
+                decode_multi_fn, donate_argnums=(2,),
+                static_argnames=("window", "horizon"),
+                out_shardings=(repl, repl, cache_sh, repl))
+            self._sample_jit = jax.jit(sample_with_logprobs)
+            n_slots, vocab = self.n_slots, p.vocab_size
+
+            def admit_sample_fn(logits, slot, sampling, key, presence):
+                # scatter the admitted slot's prefill logits into the full
+                # [S, V] grid INSIDE the jit (eager scatter would mix a
+                # process-local zeros array with global operands)
+                full = jnp.zeros((n_slots, vocab), jnp.float32) \
+                    .at[slot].set(logits[0])
+                return sample_with_logprobs(full, sampling, key, presence)
+
+            self._admit_sample_jit = jax.jit(
+                admit_sample_fn, out_shardings=(repl, repl, repl))
+            self._presence = jax.jit(
+                lambda: jnp.zeros((self.n_slots, p.vocab_size), jnp.bool_),
+                out_shardings=repl)()
+        else:
+            self._prefill_jit = jax.jit(prefill_fn, donate_argnums=(2,))
+            self._decode_jit = jax.jit(decode_fn, donate_argnums=(2,), static_argnames=("window",))
+            self._decode_multi_jit = jax.jit(
+                decode_multi_fn, donate_argnums=(2,), static_argnames=("window", "horizon")
+            )
+            self._sample_jit = jax.jit(sample_with_logprobs)
+            self._presence = jnp.zeros((self.n_slots, p.vocab_size), jnp.bool_)
 
         self._running = True
-        self._thread = threading.Thread(target=self._loop, name="tpuserve-genloop", daemon=True)
-        self._thread.start()
+        if not (self._mh and not self._mh_ctrl):
+            self._thread = threading.Thread(target=self._loop, name="tpuserve-genloop", daemon=True)
+            self._thread.start()
 
     def stop(self) -> None:
         self._running = False
@@ -743,6 +855,12 @@ class GenerationEngine:
         if self._thread is not None:
             self._thread.join(timeout=60)
             self._thread = None
+        global _MH_LIVE_ENGINE
+        if _MH_LIVE_ENGINE is self:
+            _MH_LIVE_ENGINE = None
+        # release followers AFTER the scheduler thread has issued its last
+        # dispatch (event order == dispatch order)
+        self._publish(("unload",))
         self._fail_outstanding("engine stopped")
         if self.mesh is not None:
             from tpuserve.parallel.sharding import set_active_mesh
@@ -884,11 +1002,118 @@ class GenerationEngine:
                 return i
         return None
 
+    # ------------------------------------------------- device-dispatch mirrors
+    # Every device dispatch of the scheduler funnels through a _dev_* method
+    # so that, under multi-host serving, followers can replay the identical
+    # sequence (run_follower) after the controller publishes the host-side
+    # inputs. Single-host behavior is unchanged: _publish is a no-op and the
+    # mirrors are just the original dispatch code.
+
+    def _publish(self, ev) -> None:
+        if self._mh and self._mh_ctrl:
+            from tpuserve.parallel.dispatcher import publish_event
+
+            publish_event(ev)
+
+    def _split_key(self):
+        k, sub = jax.random.split(self._key)
+        if self._mh:
+            # host-side values: replicated-by-construction jit inputs
+            return np.asarray(k), np.asarray(sub)
+        return k, sub
+
+    def _dev_admit(self, slot: int, prompt_ids, samp):
+        """Non-paged admission: prefill + first-token sample."""
+        l = len(prompt_ids)
+        bucket = self._bucket_len(l)
+        tokens = np.zeros((1, bucket), np.int32)
+        tokens[0, :l] = prompt_ids
+        logits, self.cache = self._prefill_jit(
+            self.params, tokens, self.cache, np.int32(slot), np.int32(l))
+        return self._dev_first_sample(slot, prompt_ids, samp, logits)
+
+    def _dev_first_sample(self, slot: int, prompt_ids, samp, logits):
+        """Sample the first generated token from prefill logits (shared by
+        plain, chunked, and paged admission tails)."""
+        self._sampling = self._sampling.update_slot(slot, *samp)
+        self._seed_presence(slot, prompt_ids)
+        self._key, sub = self._split_key()
+        if self._mh:
+            toks_d, lps_d, _ = self._admit_sample_jit(
+                logits, np.int32(slot), self._sampling, sub, self._presence)
+        else:
+            full_logits = jnp.zeros((self.n_slots, logits.shape[-1]),
+                                    jnp.float32).at[slot].set(logits[0])
+            toks_d, lps_d, _ = self._sample_jit(full_logits, self._sampling,
+                                                sub, self._presence)
+        tok = int(np.asarray(toks_d)[slot])
+        lp0 = float(np.asarray(lps_d)[slot])
+        self._presence = self._presence.at[slot, tok].set(True)
+        return tok, lp0
+
+    def _dev_chunk(self, slot: int, chunk_ids, c0: int, n: int, window: int):
+        """One contiguous-mode prefill chunk; returns this chunk's logits."""
+        tokens = np.zeros((1, self._chunk_size), np.int32)
+        tokens[0, :n] = chunk_ids
+        logits, self.cache = self._prefill_chunk_jit(
+            self.params, tokens, self.cache, np.int32(slot), np.int32(c0),
+            np.int32(n), window=window)
+        return logits
+
+    def _dev_decode(self, tokens, positions, window: int, horizon: int):
+        """The batched decode dispatch; returns ([H, S] tokens, [H, S]
+        logprobs) as host arrays."""
+        self._key, sub = self._split_key()
+        args = [self.params, np.asarray(tokens, np.int32), self.cache]
+        if self.ptm is not None:
+            args.append(self.ptm.device_table())
+        args += [np.asarray(positions, np.int32), self._sampling, sub,
+                 self._presence]
+        if horizon > 1:
+            toks_dev, lps_dev, self.cache, self._presence = \
+                self._decode_multi_jit(*args, window=window, horizon=horizon)
+            return np.asarray(toks_dev), np.asarray(lps_dev)
+        next_dev, lp_dev, self.cache, self._presence = \
+            self._decode_jit(*args, window=window)
+        return np.asarray(next_dev)[None], np.asarray(lp_dev)[None]
+
+    def run_follower(self) -> None:
+        """Follower-process loop (multi-host serving): replay the
+        controller's device dispatches in event order until the model
+        unloads. Call after start() on processes with index > 0."""
+        from tpuserve.parallel.dispatcher import recv_event
+
+        last_logits = None
+        while True:
+            ev = recv_event()
+            op = ev[0]
+            if op == "admit":
+                _, slot, ids, samp = ev
+                self._dev_admit(slot, ids, samp)
+            elif op == "decode":
+                _, tokens, positions, window, horizon = ev
+                self._dev_decode(tokens, positions, window, horizon)
+            elif op == "chunk":
+                _, slot, chunk_ids, c0, n, window = ev
+                last_logits = self._dev_chunk(slot, chunk_ids, c0, n, window)
+            elif op == "chunk_final":
+                _, slot, ids, samp = ev
+                self._dev_first_sample(slot, ids, samp, last_logits)
+            elif op in ("unload", "shutdown"):
+                # "shutdown" covers a server teardown that never unloaded
+                # the model; the caller (server/follower.py) re-checks it
+                return op
+            else:
+                raise BackendError(f"unknown multi-host event: {op!r}")
+
     def _admit(self, req: Request, slot: int) -> None:
         l = len(req.prompt_ids)
         bucket = self._bucket_len(l)
         tokens = np.zeros((1, bucket), np.int32)
         tokens[0, :l] = req.prompt_ids
+        samp = (req.temperature, req.top_k, req.top_p,
+                getattr(req, "repetition_penalty", 1.0),
+                getattr(req, "min_p", 0.0))
         if self.ptm is not None:
             # prefix sharing: install matched/registered shared pages at the
             # head of the slot's row, then allocate private pages for the rest
@@ -927,27 +1152,11 @@ class GenerationEngine:
                     jnp.int32(slot),
                     jnp.int32(l),
                 )
+            tok, lp0 = self._dev_first_sample(slot, req.prompt_ids, samp,
+                                              logits)
         else:
-            logits, self.cache = self._prefill_jit(
-                self.params,
-                jnp.asarray(tokens),
-                self.cache,
-                jnp.int32(slot),
-                jnp.int32(l),
-            )
-        self._sampling = self._sampling.update_slot(
-            slot, req.temperature, req.top_k, req.top_p,
-            getattr(req, "repetition_penalty", 1.0),
-            getattr(req, "min_p", 0.0))
-        self._seed_presence(slot, req.prompt_ids)
-        # sample the first generated token from prefill logits
-        self._key, sub = jax.random.split(self._key)
-        full_logits = jnp.zeros((self.n_slots, logits.shape[-1]), jnp.float32).at[slot].set(logits[0])
-        toks_d, lps_d, _ = self._sample_jit(full_logits, self._sampling, sub,
-                                            self._presence)
-        tok = int(np.asarray(toks_d)[slot])
-        lp0 = float(np.asarray(lps_d)[slot])
-        self._presence = self._presence.at[slot, tok].set(True)
+            self._publish(("admit", slot, list(req.prompt_ids), samp))
+            tok, lp0 = self._dev_admit(slot, req.prompt_ids, samp)
         self.tokens_in += l
         self._emit(req, tok, lp0)
         st = _SlotState(request=req, next_pos=l, generated=1, last_token=tok)
@@ -997,18 +1206,11 @@ class GenerationEngine:
                 )
             else:
                 n = min(cs, len(ids) - c0)
-                tokens = np.zeros((1, cs), np.int32)
-                tokens[0, :n] = ids[c0 : c0 + n]
                 window = self._bucket_len(min(c0 + cs, self.max_seq_len))
-                logits, self.cache = self._prefill_chunk_jit(
-                    self.params,
-                    jnp.asarray(tokens),
-                    self.cache,
-                    jnp.int32(slot),
-                    jnp.int32(c0),
-                    jnp.int32(n),
-                    window=window,
-                )
+                self._publish(("chunk", slot, list(ids[c0 : c0 + n]), c0, n,
+                               window))
+                logits = self._dev_chunk(slot, ids[c0 : c0 + n], c0, n,
+                                         window)
         except Exception as e:
             req.error = str(e)
             req.token_queue.put(None)
@@ -1022,18 +1224,11 @@ class GenerationEngine:
             return
         # prompt fully prefilled: sample the first generated token
         self._chunking = None
-        self._sampling = self._sampling.update_slot(
-            slot, req.temperature, req.top_k, req.top_p,
-            getattr(req, "repetition_penalty", 1.0),
-            getattr(req, "min_p", 0.0))
-        self._seed_presence(slot, req.prompt_ids)
-        self._key, sub = jax.random.split(self._key)
-        full_logits = jnp.zeros((self.n_slots, logits.shape[-1]), jnp.float32).at[slot].set(logits[0])
-        toks_d, lps_d, _ = self._sample_jit(full_logits, self._sampling, sub,
-                                            self._presence)
-        tok = int(np.asarray(toks_d)[slot])
-        lp0 = float(np.asarray(lps_d)[slot])
-        self._presence = self._presence.at[slot, tok].set(True)
+        samp = (req.temperature, req.top_k, req.top_p,
+                getattr(req, "repetition_penalty", 1.0),
+                getattr(req, "min_p", 0.0))
+        self._publish(("chunk_final", slot, list(req.prompt_ids), samp))
+        tok, lp0 = self._dev_first_sample(slot, req.prompt_ids, samp, logits)
         self.tokens_in += len(ids)
         self._emit(req, tok, lp0)
         st = _SlotState(request=req, next_pos=len(ids), generated=1, last_token=tok)
@@ -1043,7 +1238,9 @@ class GenerationEngine:
     def _seed_presence(self, slot: int, prompt_ids: List[int]) -> None:
         row = np.zeros((self.p.vocab_size,), np.bool_)
         row[np.asarray(prompt_ids, np.int64)] = True
-        self._presence = self._presence.at[slot].set(jnp.asarray(row))
+        # np operand (not jnp.asarray): under multi-host the presence array
+        # is a global array and a process-local device operand cannot mix in
+        self._presence = self._presence.at[slot].set(row)
 
     def _emit(self, req: Request, tok: int, logprob: Optional[float] = None) -> None:
         req.output_ids.append(tok)
@@ -1170,9 +1367,15 @@ class GenerationEngine:
         for i in active:
             st = self._slots[i]
             # positions may advance (k_cap+1) per round; cap so even a
-            # fully-accepted run stays inside the sequence capacity
+            # fully-accepted run stays inside the sequence capacity.
+            # NOT match-gated: the fused verify is compiled at static
+            # C = k+1 width, so suppressing an unmatched slot's drafts
+            # saves nothing — and the device lookup re-matches every round
+            # as in-dispatch history grows, so a slot that missed at round
+            # 0 can still draft at rounds 1..R-1 (r5: raises the drafted
+            # fraction the .r5_spec_bench.log economics showed limiting).
             room = (self.max_seq_len - 1 - st.next_pos) // rounds - 1
-            k_cap[i] = min(spec_k, max(0, room)) if match[i] else 0
+            k_cap[i] = min(spec_k, max(0, room))
         if not k_cap.any():
             return False
 
@@ -1478,23 +1681,10 @@ class GenerationEngine:
                 if self._spec_step(active, positions, tokens, spec_k):
                     continue
             try:
-                self._key, sub = jax.random.split(self._key)
-                args = [self.params, jnp.asarray(tokens), self.cache]
-                if self.ptm is not None:
-                    args.append(self.ptm.device_table())
-                args += [jnp.asarray(positions), self._sampling, sub,
-                         self._presence]
+                self._publish(("decode", tokens, positions, window, horizon))
                 t_disp = time.monotonic()
-                if horizon > 1:
-                    toks_dev, lps_dev, self.cache, self._presence = \
-                        self._decode_multi_jit(*args, window=window, horizon=horizon)
-                    step_tokens = np.asarray(toks_dev)  # [H, S]
-                    step_lps = np.asarray(lps_dev)      # [H, S]
-                else:
-                    next_dev, lp_dev, self.cache, self._presence = \
-                        self._decode_jit(*args, window=window)
-                    step_tokens = np.asarray(next_dev)[None]  # [1, S]
-                    step_lps = np.asarray(lp_dev)[None]
+                step_tokens, step_lps = self._dev_decode(
+                    tokens, positions, window, horizon)  # [H, S] each
                 # per-token EMA for the adaptive horizon (np.asarray above is
                 # a real host fetch, so the window covers device work). The
                 # first sample of a (window, horizon) combo includes compile
