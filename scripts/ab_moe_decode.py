@@ -68,32 +68,59 @@ def main():
         cap = max(8, int(2.0 * h.shape[0] * k / e_n))
         return llama._moe_dispatch(h, w2, gu, dn, p, cap)
 
+    # r5 methodology (scripts/kernel_rates.py): every dispatch pays a fixed
+    # ~25-48 ms relay round trip, so per-call timing of a 1-4 ms FFN is
+    # pure latency. Each mode runs as an on-device lax.scan CHAIN at two
+    # depths; the reported per-iter time is the SLOPE (d2-d1)/(t2-t1),
+    # which cancels the round trip exactly. The fence fetches one scalar.
+    d1, d2 = (int(x) for x in os.environ.get(
+        "TPUSERVE_AB_MOE_DEPTHS", "8,32").split(","))
+
+    def chain(fn, depth):
+        def run(h, w2):
+            def body(h, _):
+                return fn(h, w2) * 1e-3 + h, ()
+            h, _ = jax.lax.scan(body, h, None, length=depth)
+            return h, jnp.sum(h)
+        return jax.jit(run)
+
     for bs in (8, 64):
-        h = jnp.asarray(rng.normal(0, 1, (bs, dim)).astype(np.float32))
+        h0 = jnp.asarray(rng.normal(0, 1, (bs, dim)).astype(np.float32))
         router = jnp.asarray(rng.normal(0, 1, (bs, e_n)).astype(np.float32))
         w2 = moe_combine_weights(router, e_n, k)
-        jd = jax.jit(dense)
-        jp = jax.jit(dispatch)
-        # compile + warm both
-        o1 = jd(h, w2); np.asarray(o1)
-        o2 = jp(h, w2); np.asarray(o2)
+        # correctness once (uncompiled chains share the underlying fns)
+        o1 = jax.jit(dense)(h0, w2)
+        o2 = jax.jit(dispatch)(h0, w2)
         err = float(jnp.abs(o1 - o2).max())
-        best = {"dense": 1e9, "dispatch": 1e9}
-        for r in range(rounds):
-            for name, fn in (("dense", jd), ("dispatch", jp)):
+        del o1, o2
+        legs = {}
+        for name, fn in (("dense", dense), ("dispatch", dispatch)):
+            for d in (d1, d2):
+                j = chain(fn, d)
                 t0 = time.perf_counter()
-                for _ in range(8):
-                    h = fn(h, w2) * 1e-3 + h  # chain dependency
-                np.asarray(h)
-                best[name] = min(best[name],
-                                 (time.perf_counter() - t0) / 8 * 1e3)
-            print(f"# bs{bs} round {r}: dense {best['dense']:.3f} ms | "
-                  f"dispatch {best['dispatch']:.3f} ms", file=sys.stderr,
-                  flush=True)
-        ratio = best["dispatch"] / best["dense"]
-        print(f"bs={bs}: dense {best['dense']:.3f} ms, dispatch "
-              f"{best['dispatch']:.3f} ms, dispatch/dense {ratio:.3f} "
-              f"(max abs diff {err:.2e})", flush=True)
+                h, s = j(h0, w2)
+                np.asarray(s)
+                print(f"# bs{bs} {name}@d{d} compiled in "
+                      f"{time.perf_counter()-t0:.0f}s", file=sys.stderr,
+                      flush=True)
+                legs[(name, d)] = [j, h, []]
+        for r in range(rounds):
+            for (name, d), st in legs.items():
+                j, h, times = st
+                t0 = time.perf_counter()
+                h, s = j(h, w2)
+                np.asarray(s)
+                times.append(time.perf_counter() - t0)
+                st[1] = h
+        per = {}
+        for name in ("dense", "dispatch"):
+            t_1 = min(legs[(name, d1)][2])
+            t_2 = min(legs[(name, d2)][2])
+            per[name] = (t_2 - t_1) / (d2 - d1) * 1e3
+        ratio = per["dispatch"] / per["dense"]
+        print(f"bs={bs}: dense {per['dense']:.3f} ms, dispatch "
+              f"{per['dispatch']:.3f} ms per FFN (slope), dispatch/dense "
+              f"{ratio:.3f} (max abs diff {err:.2e})", flush=True)
 
 
 if __name__ == "__main__":

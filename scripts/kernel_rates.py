@@ -64,12 +64,16 @@ def measure_rt(reps: int = 6) -> float:
     return best
 
 
-def build_qmm(bits, bk, bn, depth):
+def build_qmm(bits, bk, bn, depth, act8=False):
+    import dataclasses
+
     rng = np.random.default_rng(0)
     w = rng.standard_normal((DIM, DIM), np.float32) * 0.02
     qt = jax.tree_util.tree_map(
         jax.device_put, quantize(jnp.asarray(w, jnp.float32), bits=bits,
                                  group_size=128))
+    if act8:
+        qt = dataclasses.replace(qt, act_bits=8)
     x0 = jnp.asarray(rng.standard_normal((S, DIM)) * 0.1, jnp.bfloat16)
 
     def chain(x, qt):
@@ -135,6 +139,8 @@ def main():
     builders = {
         "qmm_int4_auto": lambda d: build_qmm(4, None, None, d),
         "qmm_int4_bk512": lambda d: build_qmm(4, 512, 4096, d),
+        "qmm_int4_a8": lambda d: build_qmm(4, None, None, d, act8=True),
+        "qmm_int4_a8_bk512": lambda d: build_qmm(4, 512, 4096, d, act8=True),
         "qmm_int8_auto": lambda d: build_qmm(8, None, None, d),
         "attn_kv8": lambda d: build_attn(8, d),
         "attn_kv4": lambda d: build_attn(4, d),

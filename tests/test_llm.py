@@ -391,13 +391,13 @@ class TestAdaptiveHorizon:
     tracks a per-token EMA and shrinks the horizon when steps are slow
     relative to the SLO; 0 keeps the fixed decode_horizon behavior."""
 
-    def _run(self, tmp_path, name, **gen_extra):
+    def _run(self, tmp_path, name, max_new=24, **gen_extra):
         vdir = _write_llm_repo(tmp_path, name=name, **gen_extra)
         cfg = ModelConfig.from_file(os.path.join(vdir, "config.json"))
         eng = GenerationEngine(vdir, cfg)
         eng.start()
         try:
-            out = eng.generate([5, 17, 100], max_new_tokens=24)
+            out = eng.generate([5, 17, 100], max_new_tokens=max_new)
             stats = eng.serving_stats()
         finally:
             eng.stop()
@@ -414,11 +414,14 @@ class TestAdaptiveHorizon:
         assert out["output_ids"] == ref["output_ids"]
 
     def test_loose_slo_keeps_bursts(self, tmp_path):
-        """A generous SLO (1e9 ms) leaves the configured horizon in place."""
-        out, stats = self._run(tmp_path, "ah_loose", decode_horizon=8,
-                               target_burst_ms=1e9)
-        assert stats["decode_horizon_last"] > 1
-        ref, _ = self._run(tmp_path, "ah_ref2")
+        """A generous SLO (1e9 ms) leaves the configured horizon in place.
+        max_new 17 = prefill token + two full 8-bursts, so even the LAST
+        burst is full-width (the remaining-budget clamp + power-of-2
+        bucketing legitimately shrink tail bursts at other counts)."""
+        out, stats = self._run(tmp_path, "ah_loose", max_new=17,
+                               decode_horizon=8, target_burst_ms=1e9)
+        assert stats["decode_horizon_last"] == 8
+        ref, _ = self._run(tmp_path, "ah_ref2", max_new=17)
         assert out["output_ids"] == ref["output_ids"]
 
 

@@ -318,3 +318,81 @@ class TestPipelineEngine:
         finally:
             eng_r.stop()
             eng_p.stop()
+
+
+class TestPipelineMoE:
+    """pp x MoE (VERDICT r4 #6): per-layer expert stacks nest one level
+    deeper at stack time (QExperts holding [L, E, ...] arrays); the layer
+    view slices back to an ordinary [E, ...] QExperts so the island's
+    _moe_ffn dense loop runs unchanged."""
+
+    P_MOE = LlamaParams(vocab_size=128, dim=32, n_layers=4, n_heads=4,
+                        n_kv_heads=2, head_dim=8, ffn_dim=64, n_experts=4,
+                        n_experts_per_tok=2)
+
+    def _moe_params(self, quant=None):
+        p = self.P_MOE
+        raw = llama.fuse_params(
+            llama.init_params(jax.random.PRNGKey(9), p, dtype=jnp.float32), p)
+        if quant:
+            def pred(n, a):
+                if "router" in n:
+                    return False
+                return a.ndim in (2, 3) and n.endswith("kernel")
+            raw = quantize_param_tree(raw, bits=quant, group_size=16,
+                                      predicate=pred)
+        return raw
+
+    def test_stack_roundtrip_experts(self):
+        from tpuserve.quant.core import QExperts
+
+        raw = self._moe_params(quant=8)
+        p = self.P_MOE
+        assert any(isinstance(v, QExperts) for v in raw.values())
+        stacked = stack_layer_params(raw, p)
+        for l in range(p.n_layers):
+            view = _layer_view(stacked, l)
+            for key, val in view.items():
+                orig = raw[f"layers.{l}/" + key[len("L/"):]]
+                if isinstance(orig, QExperts):
+                    assert isinstance(val, QExperts)
+                    assert val.orig_shape == orig.orig_shape
+                    np.testing.assert_array_equal(np.asarray(val.q),
+                                                  np.asarray(orig.q))
+                    np.testing.assert_array_equal(np.asarray(val.scale),
+                                                  np.asarray(orig.scale))
+
+    @pytest.mark.parametrize("quant", [None, 8])
+    def test_pp2_moe_matches_single_device(self, quant):
+        raw = self._moe_params(quant=quant)
+        p = self.P_MOE
+        mesh = make_pipeline_mesh(2)
+        stacked = place_pipeline_params(stack_layer_params(raw, p), mesh)
+
+        n_slots, max_len = 4, 32
+        cache_ref = KVCache.create(p, n_slots, max_len, quantized=False,
+                                   dtype=jnp.float32)
+        cache_pp = KVCache.create(p, n_slots, max_len, quantized=False,
+                                  dtype=jnp.float32)
+        from tpuserve.parallel.pipeline import shard_cache_pp
+        cache_pp = shard_cache_pp(cache_pp, mesh)
+
+        prompt = jnp.asarray([[7, 11, 23, 5]], jnp.int32)
+        ref_l, cache_ref = llama.prefill(raw, p, prompt, cache_ref,
+                                         jnp.int32(1), jnp.int32(4))
+        pp_l, cache_pp = jax.jit(
+            lambda pr, t, c, s, ln: pp_prefill(pr, p, t, c, s, ln, mesh),
+            donate_argnums=(2,))(stacked, prompt, cache_pp, jnp.int32(1),
+                                 jnp.int32(4))
+        np.testing.assert_allclose(np.asarray(pp_l), np.asarray(ref_l),
+                                   rtol=2e-3, atol=2e-3)
+
+        tokens = jnp.asarray([3, int(jnp.argmax(ref_l[0])), 1, 0], jnp.int32)
+        positions = jnp.asarray([0, 4, -1, 0], jnp.int32)
+        ref_d, _ = llama.decode_step(raw, p, tokens, cache_ref, positions)
+        pp_d, _ = jax.jit(
+            lambda pr, t, c, pos: pp_decode_step(pr, p, t, c, pos, mesh),
+            donate_argnums=(2,))(stacked, tokens, cache_pp, positions)
+        np.testing.assert_allclose(np.asarray(pp_d), np.asarray(ref_d),
+                                   rtol=2e-3, atol=2e-3)
+        assert np.all(np.asarray(pp_d)[2] == 0.0)  # inactive slot

@@ -290,3 +290,51 @@ class TestInt8Activations:
             assert np.median(rel) < 0.05
         finally:
             m.shutdown()
+
+
+class TestW4A8:
+    """INT4 grouped weights x dynamic-INT8 activations (r5): the fused
+    kernel keeps both dot operands int8 (native int8 MXU, biased nibbles,
+    -8 folded via row sums) and the per-row activation scale multiplies
+    the output. The XLA reference contracts per group so the (group,
+    column) weight scales apply exactly."""
+
+    def _mk(self, k=64, n=48, b=5, gs=32, seed=0):
+        import dataclasses
+
+        rng = np.random.default_rng(seed)
+        w = rng.normal(0, 0.3, (k, n)).astype(np.float32)
+        x = rng.normal(0, 1.0, (b, k)).astype(np.float32)
+        qt = quantize(jnp.asarray(w), bits=4, group_size=gs)
+        qt8 = dataclasses.replace(qt, act_bits=8)
+        return jnp.asarray(x), qt8, w
+
+    def test_kernel_matches_reference(self):
+        from tpuserve.ops.quant_matmul import quant_matmul
+        from tpuserve.quant.core import _w4a8_matmul_ref
+
+        x, qt8, _ = self._mk()
+        got = quant_matmul(x, qt8, interpret=True)
+        ref = _w4a8_matmul_ref(x, qt8)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                                   rtol=1e-5, atol=1e-5)
+
+    def test_qmatmul_routes_and_tracks_float(self):
+        from tpuserve.quant.core import dequantize, qmatmul
+
+        x, qt8, w = self._mk(k=128, n=64, b=4, gs=32, seed=1)
+        out = qmatmul(x, qt8, use_pallas=False)
+        ref = np.asarray(x) @ np.asarray(dequantize(qt8))
+        err = np.abs(np.asarray(out) - ref)
+        scale = np.abs(ref).mean() + 1e-6
+        # int8 act quantization noise on top of int4 weights: a few percent
+        assert err.mean() / scale < 0.05, (err.mean(), scale)
+
+    def test_param_tree_accepts_w4a8(self):
+        from tpuserve.quant.core import quantize_param_tree
+
+        params = {"wq/kernel": jnp.asarray(
+            np.random.default_rng(2).normal(0, 0.1, (64, 32)), jnp.float32)}
+        q = quantize_param_tree(params, bits=4, group_size=32, act_bits=8)
+        qt = q["wq/kernel"]
+        assert qt.bits == 4 and qt.act_bits == 8 and qt.group_size == 32

@@ -592,11 +592,16 @@ def _moe_ffn(params, pre, h, p: LlamaParams, mm=None):
     # expert computes over only the <= cap tokens routed to it instead of
     # all T, so FLOPs drop from T*E to T*k*cf expert-passes (the all-experts
     # form was r2's documented E/k x prefill overhead). Decode (2-D, few
-    # tokens) keeps the all-experts form: it is weight-read bound and the
-    # static dense loop avoids gather/scatter latency at T ~ slots.
+    # tokens): the r5 on-chip slope A/B (.r5_ab_moe_small2.log, moe_small
+    # class) measured dispatch/dense = 1.07 at bs8 but 0.89 at bs64 — the
+    # capacity cut (cap = T*k/E*cf < T) pays for the gather/scatter once
+    # the batch is large enough, so decode routes through dispatch at
+    # T >= TPUSERVE_MOE_DECODE_DISPATCH_T (default 64; small batches keep
+    # the dense loop, VERDICT r4 #4 closed with data).
     cf = float(os.environ.get("TPUSERVE_MOE_CF", "2.0"))
+    decode_t = int(os.environ.get("TPUSERVE_MOE_DECODE_DISPATCH_T", "64"))
     t = h2.shape[0]
-    if cf > 0 and len(lead_shape) > 1:
+    if cf > 0 and (len(lead_shape) > 1 or t >= decode_t):
         cap = min(t, max(8, int(math.ceil(
             t * p.n_experts_per_tok / p.n_experts * cf))))
         if cap < t:

@@ -37,13 +37,20 @@ from jax.experimental.pallas import tpu as pltpu
 from tpuserve.quant.core import QTensor
 
 
-def _kernel(x_ref, w_ref, s_ref, o_ref, acc_ref, *, bits, gs, gpb, block_n, out_dtype):
+def _kernel(x_ref, w_ref, s_ref, o_ref, acc_ref, *, bits, gs, gpb, block_n,
+            out_dtype, act_int8=False):
     """One (n-tile, k-block) step.
 
     x_ref [B, bk]; w_ref int8 [bk, bn] or packed uint8 [bk/2, bn];
     s_ref [max(gpb,1), 1, bn] — this K block's scale rows.
     gpb = whole scale groups per K block, or 0 when a big group is split
     across blocks (int8 only; the single scale row is shared).
+
+    act_int8 (int4 weights only): x_ref carries per-row-quantized int8
+    activations; the nibble halves stay int8 and the dots run on the
+    native int8 MXU with int32 accumulation — no bf16 materialization of
+    the weight operand (the r5 element-throughput wall, kernel_rates.py).
+    The caller multiplies the per-row activation scale into the output.
     """
     kj = pl.program_id(1)
 
@@ -55,6 +62,25 @@ def _kernel(x_ref, w_ref, s_ref, o_ref, acc_ref, *, bits, gs, gpb, block_n, out_
         w = w_ref[:].astype(jnp.bfloat16)
         partial = jnp.dot(x_ref[:], w, preferred_element_type=jnp.float32)
         acc_ref[:] += partial * s_ref[0, 0, :].astype(jnp.float32)[None, :]
+    elif act_int8:
+        for g in range(gpb):  # static unroll
+            scale = s_ref[g, 0, :].astype(jnp.float32)[None, :]
+            half = gs // 2
+            packed = w_ref[g * half : (g + 1) * half, :].astype(jnp.int32)
+            lo = (packed & 0x0F).astype(jnp.int8)   # biased [0, 15]
+            hi = (packed >> 4).astype(jnp.int8)
+            x0 = x_ref[:, g * gs : g * gs + half]
+            x1 = x_ref[:, g * gs + half : (g + 1) * gs]
+            acc32 = jax.lax.dot_general(
+                x0, lo, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.int32)
+            acc32 += jax.lax.dot_general(
+                x1, hi, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.int32)
+            rsum = jnp.sum(
+                x_ref[:, g * gs : (g + 1) * gs].astype(jnp.int32),
+                axis=1, keepdims=True)
+            acc_ref[:] += (acc32 - 8 * rsum).astype(jnp.float32) * scale
     else:
         for g in range(gpb):  # static unroll (gpb == 1 for gs >= 128)
             scale = s_ref[g, 0, :].astype(jnp.float32)[None, :]
@@ -94,10 +120,12 @@ def _round_up(x: int, m: int) -> int:
 
 @functools.partial(
     jax.jit,
-    static_argnames=("bits", "group_size", "k", "n", "block_n", "block_k", "interpret", "out_dtype_name"),
+    static_argnames=("bits", "group_size", "k", "n", "block_n", "block_k",
+                     "interpret", "out_dtype_name", "act_int8"),
 )
 def _quant_matmul_impl(
-    x, q, scale, *, bits, group_size, k, n, block_n, block_k, interpret, out_dtype_name
+    x, q, scale, *, bits, group_size, k, n, block_n, block_k, interpret,
+    out_dtype_name, act_int8=False
 ):
     out_dtype = jnp.dtype(out_dtype_name)
     b = x.shape[0]
@@ -118,7 +146,8 @@ def _quant_matmul_impl(
 
     return pl.pallas_call(
         functools.partial(
-            _kernel, bits=bits, gs=gs, gpb=gpb, block_n=block_n, out_dtype=out_dtype
+            _kernel, bits=bits, gs=gs, gpb=gpb, block_n=block_n,
+            out_dtype=out_dtype, act_int8=act_int8
         ),
         out_shape=jax.ShapeDtypeStruct((b, n), out_dtype),
         grid=grid,
@@ -153,6 +182,14 @@ def _pick_blocks(k: int, n: int, gs: int, bits: int, b: int) -> tuple:
                 block_k //= 2  # split big groups so blocks stay ~VMEM-sized
             if block_k != gs and gs % block_k != 0:
                 block_k = gs
+        else:
+            # int4: several whole groups per K block (static gpb unroll).
+            # [gs/2, bn] packed blocks are sub-MB; 4 groups per block
+            # measured +13% on the r5 slope instrument (kernel_rates.py:
+            # 274->312 GB/s bf16-dot path, 317->358 W4A8)
+            while block_k < 4 * gs and k % (block_k * 2) == 0 \
+                    and (block_k * 2) % gs == 0:
+                block_k *= 2
     else:
         block_k = gs
         while block_k < 128 and (block_k * 2) <= k and k % (block_k * 2) == 0:
@@ -206,8 +243,19 @@ def quant_matmul(
     if qt.bits == 4 and gs % 2 != 0:
         raise ValueError("int4 requires even group size")
 
-    # batch tile: bf16 x wants 16 sublanes, f32 8
-    min_b = 16 if x.dtype == jnp.bfloat16 else 8
+    # W4A8: quantize activations per row and keep BOTH dot operands int8
+    # (native int8 MXU, no bf16 weight materialization — the r5 element
+    # wall); the row scale factorizes out of the whole K contraction and
+    # multiplies the output below.
+    act_int8 = qt.bits == 4 and qt.act_bits == 8
+    sx = None
+    if act_int8:
+        from tpuserve.quant.core import quantize_activation
+
+        x2, sx = quantize_activation(x2)
+
+    # batch tile: int8 x wants 32 sublanes, bf16 16, f32 8
+    min_b = 32 if act_int8 else (16 if x.dtype == jnp.bfloat16 else 8)
     b_pad = _round_up(max(b, min_b), min_b)
     if b_pad != b:
         x2 = jnp.pad(x2, ((0, b_pad - b), (0, 0)))
@@ -238,6 +286,10 @@ def quant_matmul(
         block_n=bn,
         block_k=bk,
         interpret=bool(interpret),
-        out_dtype_name=str(out_dtype),
+        out_dtype_name="float32" if act_int8 else str(out_dtype),
+        act_int8=act_int8,
     )
-    return out[:b, :n].reshape(*lead, n)
+    out = out[:b, :n]
+    if act_int8:
+        out = (out * sx).astype(out_dtype)
+    return out.reshape(*lead, n)

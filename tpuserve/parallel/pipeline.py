@@ -112,9 +112,20 @@ def stack_layer_params(params: Dict, p: LlamaParams, tp: int = 1) -> Dict:
         leaves = [params[f"layers.{l}/{sfx}"] for l in range(p.n_layers)]
         first = leaves[0]
         if isinstance(first, QExperts):
-            raise NotImplementedError(
-                "pipeline_parallel does not compose with MoE expert stacks yet")
-        if isinstance(first, QTensor):
+            # MoE expert stacks nest one level deeper: a layer stack of
+            # [E, K, N] expert stacks is a QExperts holding 4-D arrays
+            # [L, E, Kp, N] (pipeline_pspecs already pads the extra dims;
+            # _layer_view slices dim 0 back out as an ordinary QExperts).
+            # tp > 1 with MoE stays excluded at the engine (expert columns
+            # would need the rank-major regroup per expert).
+            stacked = QExperts(
+                q=jnp.stack([t.q for t in leaves]),
+                scale=jnp.stack([t.scale for t in leaves]),
+                bits=first.bits, group_size=first.group_size,
+                orig_shape=(p.n_layers,) + tuple(first.orig_shape),
+                act_bits=first.act_bits, act_fp8=first.act_fp8,
+            )
+        elif isinstance(first, QTensor):
             stacked = QExperts(
                 q=jnp.stack([t.q for t in leaves]),
                 scale=jnp.stack([t.scale for t in leaves]),
@@ -139,7 +150,15 @@ def _layer_view(params: Dict, l: int) -> Dict:
         if not k.startswith(_STACK):
             continue
         sfx = k[len(_STACK):]
-        view[f"L/{sfx}"] = v.expert(l) if isinstance(v, QExperts) else v[l]
+        if isinstance(v, QExperts) and v.q.ndim == 4:
+            # layer stack OF expert stacks (pp x MoE): slice the layer dim,
+            # leaving an ordinary [E, ...] QExperts for _moe_ffn
+            view[f"L/{sfx}"] = dataclasses.replace(
+                v, q=v.q[l], scale=v.scale[l], orig_shape=v.orig_shape[1:])
+        elif isinstance(v, QExperts):
+            view[f"L/{sfx}"] = v.expert(l)
+        else:
+            view[f"L/{sfx}"] = v[l]
     return view
 
 

@@ -189,6 +189,24 @@ def _w8a8_matmul(x: jax.Array, qt: QTensor) -> jax.Array:
     return out.astype(x.dtype)
 
 
+def _w4a8_matmul_ref(x: jax.Array, qt: QTensor) -> jax.Array:
+    """XLA reference for INT4 weights x dynamic-INT8 activations (the
+    fused kernel's W4A8 path, ops/quant_matmul.py): per-group int32
+    contraction so the (group, column) weight scales apply exactly."""
+    k, n = qt.orig_shape
+    lead = x.shape[:-1]
+    xq, sx = quantize_activation(x.reshape(-1, k))
+    w = unpack_int4(qt.q, qt.group_size)            # int8 codes [K, N]
+    groups = qt.scale.shape[0]
+    gs = k // groups
+    xg = xq.reshape(-1, groups, gs).astype(jnp.int32)
+    wg = w.reshape(groups, gs, n).astype(jnp.int32)
+    acc = jnp.einsum("tgk,gkn->tgn", xg, wg)        # int32
+    out = jnp.sum(acc.astype(jnp.float32) * qt.scale[None, :, :], axis=1)
+    out = out * sx
+    return out.astype(x.dtype).reshape(*lead, n)
+
+
 def fp8_round(x: jax.Array) -> jax.Array:
     """Round activations through float8 e4m3 (dynamic per-token scale into
     the e4m3 range, round, rescale). Precision emulation on v5e (no fp8
@@ -209,10 +227,6 @@ def qmatmul(x: jax.Array, qt: QTensor, *, use_pallas: Optional[bool] = None) -> 
     quant_matmul.py); elsewhere (CPU tests) dequantize through XLA, which
     fuses the scale multiply into the matmul epilogue.
     """
-    if qt.act_bits == 8:
-        return _w8a8_matmul(x, qt)
-    if qt.act_fp8:
-        x = fp8_round(x)
     if use_pallas is None:
         import os
 
@@ -220,6 +234,18 @@ def qmatmul(x: jax.Array, qt: QTensor, *, use_pallas: Optional[bool] = None) -> 
             jax.devices()[0].platform == "tpu"
             and os.environ.get("TPUSERVE_QMATMUL", "pallas").lower() != "xla"
         )
+    if qt.act_bits == 8:
+        if qt.bits == 8:
+            return _w8a8_matmul(x, qt)
+        # W4A8: int8 MXU dots against the biased nibbles inside the fused
+        # kernel (r5); XLA reference elsewhere (CPU tests)
+        if use_pallas:
+            from tpuserve.ops.quant_matmul import quant_matmul
+
+            return quant_matmul(x, qt)
+        return _w4a8_matmul_ref(x, qt)
+    if qt.act_fp8:
+        x = fp8_round(x)
     if use_pallas:
         from tpuserve.ops.quant_matmul import quant_matmul
 
@@ -312,11 +338,14 @@ def quantize_param_tree(
     `act_fp8` marks e4m3 activation rounding (composes with any weight
     format, including grouped INT4)."""
     if act_bits == 8:
-        if bits != 8:
-            raise ValueError("int8 activations require int8 weights")
+        if bits not in (4, 8):
+            raise ValueError("int8 activations require int8 or int4 weights")
         if act_fp8:
             raise ValueError("choose one of int8 or fp8 activations")
-        group_size = 0  # scale must factorize per column
+        if bits == 8:
+            group_size = 0  # W8A8: scale must factorize per column
+        # W4A8 keeps grouped weight scales: the fused kernel contracts per
+        # group, so (group, column) scales apply exactly (r5)
 
     def default_pred(name: str, arr) -> bool:
         if arr.ndim == 3:  # stacked MoE experts [E, K, N]

@@ -169,7 +169,12 @@ class GenerationConfig:
     # host round-trips cost ~4 ms each on remote-device setups, a large
     # fraction of a ~30 ms step. Tokens then stream in bursts of up to
     # this size; 1 = one step per dispatch (lowest latency).
-    decode_horizon: int = 4
+    # fused decode steps per dispatch (power-of-2 bucketed in the engine).
+    # Default 8 (r5, was 4): every dispatch on the serving relay pays a
+    # fixed ~25 ms round trip, so per-token cost at horizon h is
+    # ~(RT + h*step)/h — 8 cuts the dispatch tax to ~12% of a step while
+    # the adaptive target_burst_ms knob still bounds burst latency.
+    decode_horizon: int = 8
     # Adaptive horizon: when > 0, bound each fused burst's wall time to this
     # many milliseconds — the engine tracks an EMA of measured per-token
     # decode time and picks horizon = min(decode_horizon, target_burst_ms /

@@ -1638,6 +1638,12 @@ class GenerationEngine:
                 if tgt > 0 and self._tok_ms_ema is not None:
                     horizon = max(1, min(horizon,
                                          int(tgt / max(self._tok_ms_ema, 1e-6))))
+                # power-of-2 bucket: every distinct horizon compiles its
+                # own fused scan graph (minutes each via the remote-compile
+                # relay), and the remaining-budget clamp otherwise produces
+                # arbitrary values near the end of each request
+                if horizon > 1:
+                    horizon = 1 << (horizon.bit_length() - 1)
             # static KV window: smallest bucket covering every live position
             # (decode is KV-read bound; short contexts read proportionally
             # less HBM). Costs one decode compile per bucket, so it is
