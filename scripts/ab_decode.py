@@ -124,7 +124,7 @@ def main():
                 np.asarray(tokens)
                 print(f"# {name}: compiled+warm in {time.time()-t0:.0f}s",
                       file=sys.stderr, flush=True)
-                states[name] = [fn, tokens, cache, positions, []]
+                states[name] = [fn, tokens, cache, positions, [], params]
             finally:
                 for k, v in saved.items():
                     if v is None:
@@ -132,6 +132,7 @@ def main():
                     else:
                         os.environ[k] = v
             continue
+        act8 = False
         if name == "xla":
             env = {"TPUSERVE_DECODE_ATTN": "xla"}
             flat = False
@@ -141,6 +142,11 @@ def main():
             scale_dt = jnp.float32
             kv_bits = 8
             unpack = "cur"
+            if spec.endswith("w8"):  # "pallas128i4w8" = W4A8 weights path
+                # (int8 acts x int4 weights on the int8 MXU; QTensor
+                # act_bits is aux data, so both modes share the SAME device
+                # weight buffers — zero extra HBM)
+                spec, act8 = spec[:-2], True
             if spec.endswith("ns"):  # "pallas128ns" = no dyn skip
                 spec, skip = spec[:-2], "0"
             if spec.endswith("i4nu"):  # int4 + NOOP unpack (timing-only
@@ -165,13 +171,22 @@ def main():
                 kv_bits=kv_bits if name != "xla" else 8)
             tokens = jnp.zeros((n_slots,), jnp.int32)
             positions = jnp.asarray(pos0)
+            p_mode = params
+            if act8:
+                import dataclasses
+
+                from tpuserve.quant.core import QTensor as _QT
+
+                p_mode = {k: (dataclasses.replace(v, act_bits=8)
+                              if isinstance(v, _QT) else v)
+                          for k, v in params.items()}
             fn = jax.jit(multistep, donate_argnums=(2,))
             t0 = time.time()
-            tokens, cache, positions, _ = fn(params, tokens, cache, positions)
+            tokens, cache, positions, _ = fn(p_mode, tokens, cache, positions)
             np.asarray(tokens)
             print(f"# {name}: compiled+warm in {time.time()-t0:.0f}s",
                   file=sys.stderr, flush=True)
-            states[name] = [fn, tokens, cache, positions, []]
+            states[name] = [fn, tokens, cache, positions, [], p_mode]
         finally:
             for k, v in saved.items():
                 if v is None:
@@ -182,9 +197,9 @@ def main():
     for r in range(rounds):
         line = [f"round {r}:"]
         for name in mode_names:
-            fn, tokens, cache, positions, times = states[name]
+            fn, tokens, cache, positions, times, p_mode = states[name]
             t0 = time.perf_counter()
-            tokens, cache, positions, _ = fn(params, tokens, cache, positions)
+            tokens, cache, positions, _ = fn(p_mode, tokens, cache, positions)
             np.asarray(tokens)
             dt = (time.perf_counter() - t0) / inner
             times.append(dt)

@@ -662,3 +662,59 @@ class TestFusedSpeculation:
         assert out["output_ids"] == ref["output_ids"]
         assert out["finish_reason"] == ref["finish_reason"]
         assert out["num_generated"] == ref["num_generated"]
+
+
+def test_fused_rounds_match_single_round_engine(tmp_path):
+    """speculation_rounds=4 (fused on-device drafting) generates EXACTLY
+    the tokens of speculation_rounds=1 (host-drafted verify) with the same
+    accepted-token count (r5: the 7B rep-leg acceptance difference,
+    0.99 host vs 0.48 fused, is a drafted-count accounting artifact —
+    the host proposer clips drafts to the available continuation while
+    the device drafts full k; delivered tokens and speedup are equal)."""
+    import json
+    import os
+
+    import numpy as np
+
+    from tpuserve.repository.config import ModelConfig
+    from tpuserve.serving.engine import GenerationEngine
+
+    def build(name, rounds):
+        vdir = tmp_path / name / "1"
+        vdir.mkdir(parents=True)
+        cfg = {
+            "name": name, "platform": "llm", "architecture": "llama",
+            "inputs": [{"name": "input_ids", "shape": [1, -1],
+                        "data_type": "INT32"}],
+            "outputs": [{"name": "output_ids", "shape": [1, -1],
+                         "data_type": "INT32"}],
+            "model_params": {"vocab_size": 512, "dim": 128, "n_layers": 2,
+                             "n_heads": 4, "n_kv_heads": 4, "head_dim": 32,
+                             "ffn_dim": 256, "seed": 1, "init": "random"},
+            "generation": {"max_seq_len": 512, "max_slots": 4,
+                           "eos_token_id": -1, "max_new_tokens": 160,
+                           "speculation_tokens": 8,
+                           "speculation_rounds": rounds,
+                           "decode_horizon": 1},
+        }
+        with open(vdir / "config.json", "w") as f:
+            json.dump(cfg, f)
+        mc = ModelConfig.from_file(os.path.join(str(vdir), "config.json"))
+        eng = GenerationEngine(str(vdir), mc)
+        eng.start()
+        return eng
+
+    rng = np.random.default_rng(0)
+    prompt = (rng.integers(100, 500, 12).tolist() * 10)[:96]
+    outs, accepted = {}, {}
+    for rounds in (1, 4):
+        eng = build(f"spec_r{rounds}", rounds)
+        try:
+            o = eng.generate(prompt, max_new_tokens=120, temperature=0.0)
+            outs[rounds] = o["output_ids"]
+            accepted[rounds] = eng.spec_accepted
+            assert eng.spec_drafted > 0
+        finally:
+            eng.stop()
+    assert outs[1] == outs[4]
+    assert accepted[1] == accepted[4]
