@@ -261,13 +261,23 @@ class TestPipelineEngine:
             "pipeline_parallel": 2, "data_parallel": 2})
         assert ref["output_ids"] == out["output_ids"]
 
+    def test_pp_sp_matches_unsharded(self, tmp_path):
+        """pp=2 x sp=2 (KV length sharded inside the rotation island, r5)
+        generates the same greedy tokens as single-device."""
+        ref = self._gen(tmp_path, "ppsp_solo")
+        out = self._gen(tmp_path, "pp2sp2", sharding={
+            "pipeline_parallel": 2, "sequence_parallel": 2})
+        assert ref["output_ids"] == out["output_ids"]
+
     def test_pp_rejects_compositions(self, tmp_path):
         from tpuserve.repository.config import ModelConfig
         from tpuserve.serving.engine import GenerationEngine
         from tpuserve.utils.errors import BackendError
 
         cases = [
-            dict(sharding={"pipeline_parallel": 2, "sequence_parallel": 2}),
+            # sp composes now (r5), but never with tp under pp (v1)
+            dict(sharding={"pipeline_parallel": 2, "sequence_parallel": 2,
+                           "tensor_parallel": 2}),
             # tp composes now, but head counts must divide (n_kv_heads=2)
             dict(sharding={"pipeline_parallel": 2, "tensor_parallel": 4}),
             # pp x paged composes now (v1), but only pp-pure meshes and
@@ -396,3 +406,65 @@ class TestPipelineMoE:
         np.testing.assert_allclose(np.asarray(pp_d), np.asarray(ref_d),
                                    rtol=2e-3, atol=2e-3)
         assert np.all(np.asarray(pp_d)[2] == 0.0)  # inactive slot
+
+
+class TestPipelineSequenceParallel:
+    """pp x sp (r5, VERDICT r4 #6): each stage's KV length shards over an
+    "sp" axis; the rotation island computes partial softmax per L-shard and
+    merges with pmax/psum over "sp" (flash-decoding); KV writes land only
+    on the owner shard."""
+
+    @pytest.mark.parametrize("quant_kv", [False, True])
+    def test_pp2_sp2_matches_single_device(self, quant_kv):
+        raw = _params(P4)
+        mesh = make_pipeline_mesh(2, sp=2)
+        stacked = place_pipeline_params(stack_layer_params(raw, P4), mesh)
+
+        n_slots, max_len = 8, 32
+        cache_ref = KVCache.create(P4, n_slots, max_len, quantized=quant_kv,
+                                   dtype=jnp.float32 if not quant_kv else None)
+        cache_pp = KVCache.create(P4, n_slots, max_len, quantized=quant_kv,
+                                  dtype=jnp.float32 if not quant_kv else None)
+        from tpuserve.parallel.pipeline import shard_cache_pp
+        cache_pp = shard_cache_pp(cache_pp, mesh)
+
+        # prompt longer than one L shard (l_loc = 16) exercises the
+        # cross-shard prefill write split
+        prompt_ids = [7, 11, 23, 5, 19, 3, 8, 2, 31, 9, 4, 27, 6, 13, 21, 1,
+                      17, 29]
+        c = 32
+        prompt = jnp.asarray([prompt_ids + [0] * (c - len(prompt_ids))],
+                             jnp.int32)
+        n = len(prompt_ids)
+        ref_l, cache_ref = llama.prefill(raw, P4, prompt, cache_ref,
+                                         jnp.int32(2), jnp.int32(n))
+        pp_l, cache_pp = jax.jit(
+            lambda pr, t, cch, s, ln: pp_prefill(pr, P4, t, cch, s, ln, mesh),
+            donate_argnums=(2,))(stacked, prompt, cache_pp, jnp.int32(2),
+                                 jnp.int32(n))
+        np.testing.assert_allclose(np.asarray(pp_l), np.asarray(ref_l),
+                                   rtol=2e-3, atol=2e-3)
+
+        # several decode steps so positions cross the shard-1 boundary
+        tokens = np.zeros((8,), np.int32)
+        positions = np.full((8,), -1, np.int32)
+        tokens[2] = int(jnp.argmax(ref_l[0]))
+        positions[2] = n
+        tokens[5] = 3
+        positions[5] = 0
+        for step in range(4):
+            ref_d, cache_ref = llama.decode_step(
+                raw, P4, jnp.asarray(tokens), cache_ref,
+                jnp.asarray(positions))
+            pp_d, cache_pp = jax.jit(
+                lambda pr, t, cch, pos: pp_decode_step(pr, P4, t, cch, pos,
+                                                       mesh),
+                donate_argnums=(2,))(stacked, jnp.asarray(tokens), cache_pp,
+                                     jnp.asarray(positions))
+            np.testing.assert_allclose(np.asarray(pp_d), np.asarray(ref_d),
+                                       rtol=3e-3, atol=3e-3,
+                                       err_msg=f"step {step}")
+            assert np.all(np.asarray(pp_d)[0] == 0.0)  # inactive slot
+            for i in (2, 5):
+                tokens[i] = int(np.argmax(np.asarray(ref_d)[i]))
+                positions[i] += 1

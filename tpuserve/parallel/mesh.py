@@ -51,16 +51,26 @@ def make_mesh(tp: int = 1, dp: int = 1, sp: int = 1,
 
 
 def make_pipeline_mesh(pp: int, tp: int = 1, dp: int = 1,
+                       sp: int = 1,
                        devices: Optional[Sequence] = None) -> Mesh:
-    """("pp",) mesh — or ("pp", "tp") / ("dp", "pp"[, "tp"]): transformer
-    layers stage over "pp"; each stage's weights/heads shard over "tp"
-    (Megatron split, see parallel/pipeline.py); whole pipeline replicas
-    batch-parallel over "dp" (slots shard, weights replicate). "tp" is the
-    minor dim so its per-layer psums ride ICI-adjacent links; "pp"
-    activations rotate once per tick; "dp" is outermost (no per-step
-    collectives cross it)."""
-    devs = list(devices) if devices is not None else mesh_devices(pp * tp * dp)
+    """("pp",) mesh — or ("pp", "tp") / ("dp", "pp"[, "tp"]) /
+    ("pp", "sp"): transformer layers stage over "pp"; each stage's
+    weights/heads shard over "tp" (Megatron split, see
+    parallel/pipeline.py); whole pipeline replicas batch-parallel over
+    "dp" (slots shard, weights replicate); each stage's KV length shards
+    over "sp" (flash-decoding merge inside the rotation island, r5 —
+    exclusive with tp in v1). Minor dims carry the per-layer collectives
+    (tp psums / sp merge) so they ride ICI-adjacent links; "pp"
+    activations rotate once per tick; "dp" is outermost."""
+    if sp > 1 and tp > 1:
+        raise ValueError("pipeline sp x tp is not composed yet (v1)")
+    devs = list(devices) if devices is not None else mesh_devices(
+        pp * tp * dp * sp)
     arr = np.array(devs)
+    if sp > 1:
+        names = (("dp",) if dp > 1 else ()) + ("pp", "sp")
+        shape = ((dp,) if dp > 1 else ()) + (pp, sp)
+        return Mesh(arr.reshape(shape), axis_names=names)
     if dp > 1:
         names = ("dp", "pp") + (("tp",) if tp > 1 else ())
         shape = (dp, pp) + ((tp,) if tp > 1 else ())

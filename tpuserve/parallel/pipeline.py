@@ -264,10 +264,12 @@ def place_pipeline_params(params: Dict, mesh: Mesh) -> Dict:
 
 def shard_cache_pp(cache: KVCache, mesh: Mesh) -> KVCache:
     """Stage-local KV: the layer (leading) dim shards over "pp"; under a
-    ("pp", "tp") mesh the kv-head dim additionally shards over "tp"."""
+    ("pp", "tp") mesh the kv-head dim additionally shards over "tp"; under
+    ("pp", "sp") the L dim shards over "sp" (r5)."""
     tp = int(mesh.shape.get("tp", 1))
     dp = int(mesh.shape.get("dp", 1))
-    kv_spec, sc_spec = _cache_specs(cache, tp, dp)
+    sp = int(mesh.shape.get("sp", 1))
+    kv_spec, sc_spec = _cache_specs(cache, tp, dp, sp)
     kv = NamedSharding(mesh, kv_spec)
     sc = NamedSharding(mesh, sc_spec if sc_spec is not None
                        else P("pp", None, None, None))
@@ -280,16 +282,54 @@ def shard_cache_pp(cache: KVCache, mesh: Mesh) -> KVCache:
     )
 
 
-def _cache_specs(cache: KVCache, tp: int = 1, dp: int = 1) -> Tuple:
+def _cache_specs(cache: KVCache, tp: int = 1, dp: int = 1,
+                 sp: int = 1) -> Tuple:
     nd_kv = cache.k.ndim
     h_ax = "tp" if tp > 1 else None
     d_ax = "dp" if dp > 1 else None
+    l_ax = "sp" if sp > 1 else None
     if nd_kv == 5:  # [lp, S, L, Hkv, hd] (pp islands read the 5D layout)
-        kv = P("pp", d_ax, None, h_ax, None)
+        kv = P("pp", d_ax, l_ax, h_ax, None)
     else:           # flat [lp, S, L, W]: W splits on head boundaries
-        kv = P("pp", d_ax, None, h_ax)
-    sc = P("pp", d_ax, h_ax, None) if cache.quantized else None  # [lp,S,Hkv,L]
+        kv = P("pp", d_ax, l_ax, h_ax)
+    sc = P("pp", d_ax, h_ax, l_ax) if cache.quantized else None  # [lp,S,Hkv,L]
     return kv, sc
+
+
+def _gqa_decode_attention_sp(q, k_all, v_all, k_scale, v_scale, read_mask,
+                             p_loc: LlamaParams, out_dtype):
+    """sp-sharded decode attention inside a pipeline island (r5): k_all/
+    v_all hold this shard's L/sp slice of the window; each shard computes
+    partial softmax statistics over its slice and the flash-decoding merge
+    (pmax/psum over "sp") combines them — the island-local analogue of
+    parallel/sharding.decode_attention_seq_sharded. read_mask is built
+    against GLOBAL positions by the caller. Fully-masked shards contribute
+    e^(m - m_global) = 0 weight, so their uniform fake mass cancels."""
+    import math as _math
+
+    s = q.shape[0]
+    n_rep = p_loc.n_heads // p_loc.n_kv_heads
+    qg = q.reshape(s, p_loc.n_kv_heads, n_rep, p_loc.head_dim)
+    cdt = jnp.float32 if k_all.dtype == jnp.float32 else jnp.bfloat16
+    scores = jnp.einsum("shrd,slhd->shrl", qg.astype(cdt), k_all.astype(cdt),
+                        preferred_element_type=jnp.float32)
+    if k_scale is not None:
+        scores = scores * k_scale[:, :, None, :]
+    scores = scores / _math.sqrt(p_loc.head_dim)
+    scores = jnp.where(read_mask[:, None, None, :], scores, -1e30)
+    m = jnp.max(scores, axis=-1)                       # [S, Hkv, rep]
+    probs = jnp.exp(scores - m[..., None])
+    ssum = jnp.sum(probs, axis=-1)
+    if v_scale is not None:
+        probs = probs * v_scale[:, :, None, :]
+    o = jnp.einsum("shrl,slhd->shrd", probs.astype(cdt), v_all.astype(cdt),
+                   preferred_element_type=jnp.float32)
+    m_g = jax.lax.pmax(m, "sp")
+    w = jnp.exp(m - m_g)                               # underflows to 0
+    o = jax.lax.psum(o * w[..., None], "sp")
+    ssum = jax.lax.psum(ssum * w, "sp")
+    out = o / jnp.maximum(ssum, 1e-20)[..., None]
+    return out.astype(out_dtype).reshape(s, p_loc.n_heads * p_loc.head_dim)
 
 
 def _logits_shared(shared: Dict, x: jax.Array, p: LlamaParams) -> jax.Array:
@@ -314,6 +354,7 @@ def pp_decode_step(params: Dict, p: LlamaParams, tokens: jax.Array,
     pp = int(mesh.shape["pp"])
     tp = int(mesh.shape.get("tp", 1))
     dp = int(mesh.shape.get("dp", 1))
+    sp = int(mesh.shape.get("sp", 1))
     p_loc = _local_params(p, tp)
     lp = p.n_layers // pp
     s_dim = int(tokens.shape[0])
@@ -321,6 +362,12 @@ def pp_decode_step(params: Dict, p: LlamaParams, tokens: jax.Array,
     mb = s_loc // pp
     l_max = cache.max_len
     win = l_max if window is None else min(int(window), l_max)
+    if sp > 1:
+        # sp shards the KV length: every shard reads its full local window
+        # and the flash-decoding merge handles liveness (decode buckets are
+        # off under sp — engine sets window = max_seq_len)
+        win = l_max
+    l_loc = l_max // sp
     quantized = cache.quantized
 
     stack_keys = [k for k in params if k.startswith(_STACK)]
@@ -332,7 +379,7 @@ def pp_decode_step(params: Dict, p: LlamaParams, tokens: jax.Array,
     spec_tree_shared = {k: (dataclasses.replace(v, q=P(), scale=P())
                             if isinstance(v, QTensor) else P())
                         for k, v in shared.items()}
-    kv_spec, sc_spec = _cache_specs(cache, tp, dp)
+    kv_spec, sc_spec = _cache_specs(cache, tp, dp, sp)
     from jax.experimental.shard_map import shard_map
 
     def island(stk, shr, toks, pos, k_c, v_c, ks_c, vs_c):
@@ -356,7 +403,18 @@ def pp_decode_step(params: Dict, p: LlamaParams, tokens: jax.Array,
             cos, sin = rope_cos_sin(posc, p.head_dim, p.rope_theta)
             cos_q, sin_q = cos[:, None, :], sin[:, None, :]
             rows = row0 + jnp.arange(mb, dtype=jnp.int32)
-            ar = jnp.arange(win, dtype=jnp.int32)
+            if sp > 1:
+                # this shard's L window covers global positions
+                # [sp_idx*l_loc, (sp_idx+1)*l_loc); writes land only on the
+                # owner shard, reads mask against GLOBAL liveness
+                sp_idx = jax.lax.axis_index("sp")
+                ar = sp_idx * l_loc + jnp.arange(l_loc, dtype=jnp.int32)
+                owner = (posc // l_loc) == sp_idx
+                posc_w = jax.lax.rem(posc, l_loc)
+            else:
+                ar = jnp.arange(win, dtype=jnp.int32)
+                owner = jnp.ones_like(posc, jnp.bool_)
+                posc_w = posc
             read_mask = ar[None, :] <= posc[:, None]
             for ll in range(lp):
                 view = _layer_view(stk, ll)
@@ -378,33 +436,42 @@ def pp_decode_step(params: Dict, p: LlamaParams, tokens: jax.Array,
                         vq = v.astype(v_c.dtype)
                         ks = vs = None
 
+                    act_w = act & owner
+
                     def masked(new, old_arr):
-                        old = old_arr[ll, rows, posc]
-                        m = act.reshape((mb,) + (1,) * (new.ndim - 1))
+                        old = old_arr[ll, rows, posc_w]
+                        m = act_w.reshape((mb,) + (1,) * (new.ndim - 1))
                         return jnp.where(m, new, old)
 
-                    k_c = k_c.at[ll, rows, posc].set(masked(kq.astype(k_c.dtype), k_c))
-                    v_c = v_c.at[ll, rows, posc].set(masked(vq.astype(v_c.dtype), v_c))
+                    k_c = k_c.at[ll, rows, posc_w].set(masked(kq.astype(k_c.dtype), k_c))
+                    v_c = v_c.at[ll, rows, posc_w].set(masked(vq.astype(v_c.dtype), v_c))
                     if ks is not None:
                         # scale cache is head-major [.., Hkv, L]
 
                         def masked_sc(new, old_arr):
-                            old = old_arr[ll, rows, :, posc]
-                            m = act.reshape((mb,) + (1,) * (new.ndim - 1))
+                            old = old_arr[ll, rows, :, posc_w]
+                            m = act_w.reshape((mb,) + (1,) * (new.ndim - 1))
                             return jnp.where(m, new, old)
 
-                        ks_c = ks_c.at[ll, rows, :, posc].set(masked_sc(ks, ks_c))
-                        vs_c = vs_c.at[ll, rows, :, posc].set(masked_sc(vs, vs_c))
-                    k_all = jax.lax.dynamic_slice_in_dim(k_c[ll], row0, mb)[:, :win]
-                    v_all = jax.lax.dynamic_slice_in_dim(v_c[ll], row0, mb)[:, :win]
+                        ks_c = ks_c.at[ll, rows, :, posc_w].set(masked_sc(ks, ks_c))
+                        vs_c = vs_c.at[ll, rows, :, posc_w].set(masked_sc(vs, vs_c))
+                    rwin = l_loc if sp > 1 else win
+                    k_all = jax.lax.dynamic_slice_in_dim(k_c[ll], row0, mb)[:, :rwin]
+                    v_all = jax.lax.dynamic_slice_in_dim(v_c[ll], row0, mb)[:, :rwin]
                     if quantized:
-                        ksl = jax.lax.dynamic_slice_in_dim(ks_c[ll], row0, mb)[:, :, :win]
-                        vsl = jax.lax.dynamic_slice_in_dim(vs_c[ll], row0, mb)[:, :, :win]
+                        ksl = jax.lax.dynamic_slice_in_dim(ks_c[ll], row0, mb)[:, :, :rwin]
+                        vsl = jax.lax.dynamic_slice_in_dim(vs_c[ll], row0, mb)[:, :, :rwin]
                     else:
                         ksl = vsl = None
-                    out = _gqa_decode_attention(
-                        q.reshape(mb, p_loc.n_heads * p.head_dim),
-                        k_all, v_all, ksl, vsl, read_mask, p_loc, x.dtype)
+                    if sp > 1:
+                        out = _gqa_decode_attention_sp(
+                            q.reshape(mb, p_loc.n_heads * p.head_dim),
+                            k_all, v_all, ksl, vsl, read_mask, p_loc,
+                            x.dtype)
+                    else:
+                        out = _gqa_decode_attention(
+                            q.reshape(mb, p_loc.n_heads * p.head_dim),
+                            k_all, v_all, ksl, vsl, read_mask, p_loc, x.dtype)
                     return out
 
                 x = _forward_block(view, "L", x, p_loc, attn_fn,
@@ -454,10 +521,12 @@ def pp_prefill(params: Dict, p: LlamaParams, tokens: jax.Array,
     pp = int(mesh.shape["pp"])
     tp = int(mesh.shape.get("tp", 1))
     dp = int(mesh.shape.get("dp", 1))
+    sp = int(mesh.shape.get("sp", 1))
     p_loc = _local_params(p, tp)
     lp = p.n_layers // pp
     b, c = tokens.shape
     s_loc = cache.n_slots // dp  # slots per dp replica (local cache view)
+    l_loc = cache.max_len // sp  # local L window under sp (r5)
     quantized = cache.quantized
 
     stack_keys = [k for k in params if k.startswith(_STACK)]
@@ -468,7 +537,7 @@ def pp_prefill(params: Dict, p: LlamaParams, tokens: jax.Array,
     spec_tree_shared = {k: (dataclasses.replace(v, q=P(), scale=P())
                             if isinstance(v, QTensor) else P())
                         for k, v in shared.items()}
-    kv_spec, sc_spec = _cache_specs(cache, tp, dp)
+    kv_spec, sc_spec = _cache_specs(cache, tp, dp, sp)
     from jax.experimental.shard_map import shard_map
 
     def island(stk, shr, toks, slot_, length_, k_c, v_c, ks_c, vs_c):
@@ -509,22 +578,52 @@ def pp_prefill(params: Dict, p: LlamaParams, tokens: jax.Array,
                         vq = v[0].astype(v_c.dtype)
                         ks = vs = None
 
-                    def masked(new, old_arr):
+                    if sp > 1:
+                        # the chunk's global rows [0, c) split across sp
+                        # shards: take this shard's [sp_idx*l_loc, ..+l_loc)
+                        # slice (zero-padded tail; dynamic_slice clamps are
+                        # safe — rows past c are masked out below)
+                        sp_idx = jax.lax.axis_index("sp")
+
+                        def loc(new, axis):
+                            pads = [(0, 0)] * new.ndim
+                            pads[axis] = (0, l_loc)
+                            padded = jnp.pad(new, pads)
+                            return jax.lax.dynamic_slice_in_dim(
+                                padded, sp_idx * l_loc, l_loc, axis=axis)
+
+                        ok_rows = (sp_idx * l_loc
+                                   + jnp.arange(l_loc, dtype=jnp.int32)) < c
+                        kq, vq = loc(kq, 0), loc(vq, 0)
+                        ok_kv = ok_rows[:, None, None]
+                        ok_sc = ok_rows[None, :]
+                        if ks is not None:
+                            ks = loc(ks.T, 1)   # head-major [Hkv, l_loc]
+                            vs = loc(vs.T, 1)
+                    else:
+                        ok_kv = ok_sc = None
+                        if ks is not None:
+                            ks, vs = ks.T, vs.T  # head-major [Hkv, C]
+
+                    def masked(new, old_arr, okm=None):
                         old = jax.lax.dynamic_slice(
                             old_arr[ll], (slot_,) + (0,) * (old_arr.ndim - 2),
                             (1,) + new.shape)[0]
-                        return jnp.where(valid & own, new, old)
+                        m = valid & own
+                        if okm is not None:
+                            m = m & okm
+                        return jnp.where(m, new, old)
 
-                    def put(arr, new):
+                    def put(arr, new, okm=None):
                         return jax.lax.dynamic_update_slice(
-                            arr, masked(new, arr)[None][None],
+                            arr, masked(new, arr, okm)[None][None],
                             (ll, slot_) + (0,) * (arr.ndim - 2))
 
-                    k_c = put(k_c, kq.astype(k_c.dtype))
-                    v_c = put(v_c, vq.astype(v_c.dtype))
+                    k_c = put(k_c, kq.astype(k_c.dtype), ok_kv)
+                    v_c = put(v_c, vq.astype(v_c.dtype), ok_kv)
                     if ks is not None:
-                        ks_c = put(ks_c, ks.T)  # head-major [Hkv, C]
-                        vs_c = put(vs_c, vs.T)
+                        ks_c = put(ks_c, ks, ok_sc)
+                        vs_c = put(vs_c, vs, ok_sc)
                     return _attention_prefill(q, k, v, mask).reshape(b, c, -1)
 
                 x = _forward_block(view, "L", x, p_loc, attn_fn,

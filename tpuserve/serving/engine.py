@@ -312,8 +312,19 @@ class GenerationEngine:
             tp_pp = int(shard.tensor_parallel)
             dp_pp = int(shard.data_parallel)
             if sp > 1:
-                raise BackendError(
-                    "pipeline_parallel is exclusive with sequence_parallel")
+                # pp x sp (r5): each stage's KV length shards over "sp",
+                # flash-decoding merge inside the rotation island
+                if tp_pp > 1:
+                    raise BackendError(
+                        "pipeline_parallel x sequence_parallel does not "
+                        "compose with tensor_parallel (v1)")
+                if self.config.generation.paged:
+                    raise BackendError(
+                        "sequence_parallel does not compose with paged KV")
+                if self.max_seq_len % sp != 0:
+                    raise BackendError(
+                        f"max_seq_len {self.max_seq_len} must divide by "
+                        f"sequence_parallel {sp}")
             if self.config.generation.paged:
                 # pp x paged v1 (parallel/pipeline.py): pp-only meshes, no
                 # prefix sharing (the suffix-prefill island is not staged)
@@ -349,7 +360,7 @@ class GenerationEngine:
             from tpuserve.parallel.pipeline import (
                 place_pipeline_params, stack_layer_params)
 
-            self.mesh = make_pipeline_mesh(pp, tp_pp, dp_pp)
+            self.mesh = make_pipeline_mesh(pp, tp_pp, dp_pp, sp)
             self._pp = pp
             self.params = place_pipeline_params(
                 stack_layer_params(params, p, tp=tp_pp), self.mesh)
